@@ -1,0 +1,49 @@
+"""Streaming fast-path test: video -> chunks -> final SBS video with no PNG
+intermediates, plus chunk-granular resume."""
+
+import pytest
+
+from vsc_tpu.config import get_path, load_config, save_config
+from vsc_tpu.io.probe import probe_video
+from vsc_tpu.native import vscmedia_path
+
+pytestmark = pytest.mark.skipif(vscmedia_path() is None,
+                                reason="native media engine unavailable")
+
+FAST_STEREO = {
+    "max_disparity": 5.0, "convergence": 0.0, "super_sampling": 1.0,
+    "edge_softness": 1.0, "artifact_smoothing": 0.0, "depth_gamma": 1.0,
+    "sharpen": 0.0,
+}
+
+
+def test_stream_convert(workflow, test_video):
+    from vsc_tpu.pipeline import stream_convert
+
+    config = load_config(workflow)
+    config["stereo"].update(FAST_STEREO)
+    config["encoding"] = {"crf": 30, "preset": "ultrafast"}
+    save_config(workflow, config)
+
+    # two chunks of 16 then the remainder; stub depth at tiny input size
+    assert stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
+                              model_name="stub", input_size=96, concat=True)
+
+    chunks_dir = get_path(workflow, config, "chunks")
+    names = sorted(p.name for p in chunks_dir.glob("*.mkv"))
+    assert names == ["sbs_000001_000016.mkv", "sbs_000017_000032.mkv",
+                     "sbs_000033_000036.mkv"]
+
+    # no PNG intermediates were produced
+    assert not list(get_path(workflow, config, "frames").glob("*.png"))
+    assert not list(get_path(workflow, config, "sbs").glob("*.png"))
+
+    out = get_path(workflow, config, "output_video")
+    info = probe_video(out)
+    assert info["width"] == 384 and info["height"] == 108
+    assert info["vcodec"] == "hevc" and info["has_audio"] is True
+    assert info["duration"] == pytest.approx(36 / 24.0, abs=0.1)
+
+    # resume: everything already chunked -> short-circuits, still succeeds
+    assert stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
+                              model_name="stub", input_size=96, concat=False)

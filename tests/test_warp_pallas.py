@@ -1,0 +1,35 @@
+"""Pallas warp kernel vs the jnp reference implementation (exact match)."""
+
+import numpy as np
+import pytest
+
+from vsc_tpu.ops.warp import forward_warp_stereo
+from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas
+
+
+def _inputs(b=2, h=24, w=96, seed=0):
+    rng = np.random.default_rng(seed)
+    img = rng.random((b, h, w, 3)).astype(np.float32) * 255.0
+    depth = rng.random((b, h, w)).astype(np.float32)
+    # smooth the depth a little so disparity gradients are realistic
+    depth = (depth + np.roll(depth, 1, 1) + np.roll(depth, 1, 2)) / 3.0
+    return img, depth
+
+
+@pytest.mark.parametrize("max_disp", [4.0, 9.7])
+def test_pallas_matches_jnp(max_disp):
+    img, depth = _inputs()
+    ref = forward_warp_stereo(img, depth, max_disp)
+    got = forward_warp_stereo_pallas(img, depth, max_disp)
+    for name, r, g in zip(("L", "Lm", "R", "Rm"), ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5,
+                                   err_msg=f"mismatch in {name}")
+
+
+def test_pallas_ragged_rows():
+    # rows not a multiple of the block size exercise the grid remainder
+    img, depth = _inputs(b=1, h=13, w=64, seed=3)
+    ref = forward_warp_stereo(img, depth, 5.0)
+    got = forward_warp_stereo_pallas(img, depth, 5.0, block_rows=8)
+    for r, g in zip(ref, got):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)

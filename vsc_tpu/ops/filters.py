@@ -50,37 +50,31 @@ def _reflect_pad_hw(img, ph: int, pw: int, channel_last: bool):
 
 def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False):
     """Separable gaussian blur with reflect-101 padding; spatial dims are the
-    last two axes (or (-3,-2) with channel_last). Implemented as two matmul
-    contractions against banded convolution matrices — MXU-friendly and
-    shape-static."""
+    last two axes (or (-3,-2) with channel_last). Implemented as a static
+    shift-and-accumulate over the (<=31-tap) kernel — pure VPU work with a
+    tiny constant table, no dense convolution matrices."""
     import jax.numpy as jnp
 
     h_axis = img.ndim - (3 if channel_last else 2)
     w_axis = h_axis + 1
     H, W = img.shape[h_axis], img.shape[w_axis]
     r = ksize // 2
+    k = gaussian_kernel1d(ksize, sigma)
 
     padded = _reflect_pad_hw(img, r, r, channel_last)
 
-    # Banded conv-as-matmul: out[o] = sum_t k[t] * padded[o + t]
-    import jax
-    prec = jax.lax.Precision.HIGHEST
-    bh = jnp.asarray(_cached_band(H, H + 2 * r, ksize, sigma))
-    bw = jnp.asarray(_cached_band(W, W + 2 * r, ksize, sigma))
-    out = jnp.tensordot(bh, padded, axes=[[1], [h_axis]], precision=prec)
-    out = jnp.moveaxis(out, 0, h_axis)
-    out = jnp.tensordot(bw, out, axes=[[1], [w_axis]], precision=prec)
-    out = jnp.moveaxis(out, 0, w_axis)
+    def conv_axis(x, axis, n):
+        acc = None
+        for t in range(ksize):
+            sl = [slice(None)] * x.ndim
+            sl[axis] = slice(t, t + n)
+            term = float(k[t]) * x[tuple(sl)]
+            acc = term if acc is None else acc + term
+        return acc
+
+    out = conv_axis(padded, h_axis, H)
+    out = conv_axis(out, w_axis, W)
     return out
-
-
-@functools.lru_cache(maxsize=256)
-def _cached_band(n_out: int, n_in: int, ksize: int, sigma: float) -> np.ndarray:
-    k = gaussian_kernel1d(ksize, sigma)
-    m = np.zeros((n_out, n_in), np.float32)
-    for o in range(n_out):
-        m[o, o:o + ksize] += k
-    return m
 
 
 def unsharp_mask(img, strength: float, channel_last: bool = True):

@@ -1,20 +1,23 @@
 """
-Resampling as matrix multiplication
-===================================
+Resampling kernels
+==================
 
-All image resizes the stereo pipeline needs, expressed as two dense
-matmuls (rows then columns) so they run on the TPU MXU instead of as
-gather-heavy interpolation:
+All image resizes the stereo pipeline needs, expressed as **tap gathers**:
+for each output coordinate a static table of (source index, weight) pairs —
+at most 8 taps (Lanczos4). One gather + a T-term weighted sum per axis:
+optimal memory traffic, tiny constant tables (dst x T), no dense matrices.
 
-  out[b, o, p, c] = sum_h sum_w  Rh[o, h] * img[b, h, w, c] * Rw[p, w]
-
-The weight matrices are built on the host at trace time (shapes are static
-under jit) and become XLA constants.
+(The first design used dense resampling matrices on the MXU; at 1080p with
+supersampling those matrices reach ~50 MB each and both bloat the compiled
+program beyond the TPU relay's payload limit and waste ~100x FLOPs on
+zeros. Tap tables are the right shape for the hardware: the VPU does the
+multiply-adds, the gather rides the native lane layout.)
 
 Three kernels, each matching the exact sampling semantics the reference
 pipeline depends on:
   - lanczos4:  cv2.resize INTER_LANCZOS4 (pre-stretch of rgb+depth,
-               /root/reference/helper/stereo_core.py:253-254)
+               /root/reference/helper/stereo_core.py:253-254), weights
+               quantized to cv2's 1/2048 fixed-point grid
   - bilinear:  torch F.interpolate(mode='bilinear', align_corners=False)
                == cv2 INTER_LINEAR (super-sampling upscale, stereo_core.py:260-262,
                348-366; depth-map save resize, depth_map_generator.py:217)
@@ -31,18 +34,13 @@ import functools
 
 import numpy as np
 
-__all__ = ["resize", "resize_matrix"]
+__all__ = ["resize", "resize_taps"]
 
 
-def _lanczos4_weights(src: int, dst: int) -> np.ndarray:
-    """Row-resampling matrix for cv2 INTER_LANCZOS4 (8-tap Lanczos, a=4).
-
-    Weights are quantized to cv2's fixed-point grid (1/2048,
-    INTER_RESIZE_COEF_BITS=11) — cv2 resizes integer images through short
-    coefficients, and matching that grid removes a +-1-code systematic
-    difference against the reference's intermediates."""
+def _lanczos4_taps(src: int, dst: int):
     scale = src / dst
-    mat = np.zeros((dst, src), np.float64)
+    idx = np.zeros((dst, 8), np.int32)
+    wgt = np.zeros((dst, 8), np.float32)
     for o in range(dst):
         sx = (o + 0.5) * scale - 0.5
         x0 = int(np.floor(sx))
@@ -57,76 +55,80 @@ def _lanczos4_weights(src: int, dst: int) -> np.ndarray:
                          0.0))
         w = w / w.sum()
         w = np.round(w * 2048.0) / 2048.0  # cv2 fixed-point coefficient grid
-        np.add.at(mat[o], np.clip(taps, 0, src - 1), w)
-    return mat
+        idx[o] = np.clip(taps, 0, src - 1)
+        wgt[o] = w
+    return idx, wgt
 
 
-def _bilinear_weights(src: int, dst: int) -> np.ndarray:
-    """Row matrix for half-pixel bilinear (torch align_corners=False / cv2
-    INTER_LINEAR)."""
+def _bilinear_taps(src: int, dst: int):
     scale = src / dst
-    mat = np.zeros((dst, src), np.float64)
+    idx = np.zeros((dst, 2), np.int32)
+    wgt = np.zeros((dst, 2), np.float32)
     for o in range(dst):
         sx = (o + 0.5) * scale - 0.5
         x0 = int(np.floor(sx))
         f = sx - x0
-        np.add.at(mat[o], [np.clip(x0, 0, src - 1), np.clip(x0 + 1, 0, src - 1)],
-                  [1.0 - f, f])
-    return mat
+        idx[o] = [np.clip(x0, 0, src - 1), np.clip(x0 + 1, 0, src - 1)]
+        wgt[o] = [1.0 - f, f]
+    return idx, wgt
 
 
-def _area_weights(src: int, dst: int) -> np.ndarray:
-    """Row matrix for torch mode='area' (adaptive average pooling): output i
-    averages src indices [floor(i*src/dst), ceil((i+1)*src/dst))."""
-    mat = np.zeros((dst, src), np.float64)
-    for o in range(dst):
-        start = (o * src) // dst
-        end = -((-(o + 1) * src) // dst)  # ceil((o+1)*src/dst)
-        mat[o, start:end] = 1.0 / (end - start)
-    return mat
+def _area_taps(src: int, dst: int):
+    """Adaptive average pooling: output o averages [floor(o*src/dst),
+    ceil((o+1)*src/dst)). Window widths vary by at most one; narrower
+    windows zero-pad their trailing taps."""
+    starts = [(o * src) // dst for o in range(dst)]
+    ends = [-((-(o + 1) * src) // dst) for o in range(dst)]
+    T = max(e - s for s, e in zip(starts, ends))
+    idx = np.zeros((dst, T), np.int32)
+    wgt = np.zeros((dst, T), np.float32)
+    for o, (s, e) in enumerate(zip(starts, ends)):
+        n = e - s
+        idx[o, :n] = np.arange(s, e)
+        wgt[o, :n] = 1.0 / n
+    return idx, wgt
 
 
 _BUILDERS = {
-    "lanczos4": _lanczos4_weights,
-    "bilinear": _bilinear_weights,
-    "area": _area_weights,
+    "lanczos4": _lanczos4_taps,
+    "bilinear": _bilinear_taps,
+    "area": _area_taps,
 }
 
 
 @functools.lru_cache(maxsize=512)
-def resize_matrix(src: int, dst: int, method: str) -> np.ndarray:
-    """Cached (dst, src) float32 resampling matrix."""
+def resize_taps(src: int, dst: int, method: str):
+    """Cached (indices [dst, T] int32, weights [dst, T] float32)."""
     if method not in _BUILDERS:
         raise ValueError(f"unknown resize method: {method}")
-    return _BUILDERS[method](src, dst).astype(np.float32)
+    return _BUILDERS[method](src, dst)
+
+
+def _resample_axis(img, axis: int, dst: int, method: str):
+    import jax.numpy as jnp
+    src = img.shape[axis]
+    if src == dst:
+        return img
+    idx, wgt = resize_taps(src, dst, method)
+    T = idx.shape[1]
+    gathered = jnp.take(img, jnp.asarray(idx.reshape(-1)), axis=axis)
+    new_shape = img.shape[:axis] + (dst, T) + img.shape[axis + 1:]
+    gathered = gathered.reshape(new_shape)
+    w_shape = [1] * gathered.ndim
+    w_shape[axis], w_shape[axis + 1] = dst, T
+    w = jnp.asarray(wgt).reshape(w_shape)
+    return (gathered * w).sum(axis=axis + 1)
 
 
 def resize(img, out_h: int, out_w: int, method: str = "bilinear",
            channel_last: bool = False):
-    """Resize a float array to (out_h, out_w) via two MXU matmuls.
+    """Resize a float array to (out_h, out_w).
 
     Spatial dims are the last two axes, or axes (-3, -2) when
     ``channel_last`` is set (i.e. [..., H, W, C]).
     """
-    import jax.numpy as jnp
-
     h_axis = img.ndim - (3 if channel_last else 2)
     w_axis = h_axis + 1
-    in_h, in_w = img.shape[h_axis], img.shape[w_axis]
-    if (in_h, in_w) == (out_h, out_w):
-        return img
-
-    rh = jnp.asarray(resize_matrix(in_h, out_h, method))
-    rw = jnp.asarray(resize_matrix(in_w, out_w, method))
-
-    # rows: contract H; cols: contract W. tensordot keeps things MXU-shaped.
-    # HIGHEST precision: resampling weights need full f32 on the MXU — the
-    # default bf16 pass costs ~0.5 code values of error per resize, which
-    # compounds across the pipeline's five resamplings.
-    import jax
-    prec = jax.lax.Precision.HIGHEST
-    out = jnp.tensordot(rh, img, axes=[[1], [h_axis]], precision=prec)
-    out = jnp.moveaxis(out, 0, h_axis)
-    out = jnp.tensordot(rw, out, axes=[[1], [w_axis]], precision=prec)
-    out = jnp.moveaxis(out, 0, w_axis)
-    return out
+    img = _resample_axis(img, h_axis, out_h, method)
+    img = _resample_axis(img, w_axis, out_w, method)
+    return img

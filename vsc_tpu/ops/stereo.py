@@ -40,11 +40,27 @@ import functools
 import jax
 import numpy as np
 
+import os
+
 from vsc_tpu.config.stereo_params import StereoParams
 from vsc_tpu.ops.filters import bilateral_filter, dilate3x3, gaussian_blur, unsharp_mask
 from vsc_tpu.ops.inpaint import pyramid_inpaint
 from vsc_tpu.ops.resize import resize
-from vsc_tpu.ops.warp import forward_warp_stereo
+from vsc_tpu.ops.warp import forward_warp_stereo as _warp_jnp
+
+
+def _forward_warp(image, depth, max_disparity):
+    """Warp backend selection: the fused Pallas kernel on TPU (one HBM pass
+    instead of ~max_disparity shifted reads), the jnp formulation elsewhere.
+    Override with VSC_TPU_WARP=jnp|pallas; both are exact-equivalent
+    (tests/test_warp_pallas.py)."""
+    choice = os.environ.get("VSC_TPU_WARP")
+    if choice == "jnp":
+        return _warp_jnp(image, depth, max_disparity)
+    if choice == "pallas" or jax.default_backend() == "tpu":
+        from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas
+        return forward_warp_stereo_pallas(image, depth, max_disparity)
+    return _warp_jnp(image, depth, max_disparity)
 
 __all__ = ["generate_sbs", "sbs_shapes", "StereoParams"]
 
@@ -166,7 +182,7 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         depth_n = jnp.clip(depth_n, 0.001, 1.0) ** params.depth_gamma
 
     # 6. forward warp
-    left, left_mask, right, right_mask = forward_warp_stereo(
+    left, left_mask, right, right_mask = _forward_warp(
         rgb_st, depth_n, params.max_disparity)
 
     # 7. per-eye post-processing

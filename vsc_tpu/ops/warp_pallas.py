@@ -1,0 +1,155 @@
+"""
+Forward stereo warp — Pallas TPU kernel
+=======================================
+
+Same math as vsc_tpu.ops.warp (gather reformulation of the reference's
+depth-sorted splat, stereo_core.py:110-190), as a fused Pallas kernel.
+
+Why: the jnp version unrolls ceil(max_disparity)+2 shifted reads of four
+[B, H, W] planes; XLA's fusion re-reads operand windows from HBM per shift,
+so the stage is HBM-bound at ~50x the theoretical traffic. Here each grid
+cell DMAs one row-block of the (pre-padded) disparity and image planes into
+VMEM once, runs the whole shift loop out of VMEM for BOTH eyes, and writes
+the four outputs once: HBM traffic drops from O(D * H * W) to O(H * W).
+
+Layout: channel-last inputs are split into channel planes outside the
+kernel so every ref is a 2-D [rows, W(+2P)] tile — rows on sublanes, W on
+lanes, the native VPU shape.
+
+The kernel treats out-of-image sources via a -inf disparity sentinel in the
+padding: floor(-inf) never equals any shift, so padded columns simply never
+win the priority selection.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["forward_warp_stereo_pallas"]
+
+_SENTINEL = -3.0e4  # disparity sentinel for padded columns (floor != any s)
+
+
+def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
+                 lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref,
+                 rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref,
+                 *, W: int, P: int, D: int, inv_max_disp: float):
+    """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs: [TH, W]."""
+    disp = disp_ref[...]
+    red = r_ref[...]
+    green = g_ref[...]
+    blue = b_ref[...]
+
+    neg_inf = jnp.float32(-jnp.inf)
+    shape = (disp.shape[0], W)
+
+    def select(best, take, new):
+        k, w, r, g, b = best
+        nk, nw, nr, ng, nb = new
+        return (jnp.where(take, nk, k), jnp.where(take, nw, w),
+                jnp.where(take, nr, r), jnp.where(take, ng, g),
+                jnp.where(take, nb, b))
+
+    def run_eye(sign, s_lo, s_hi):
+        best = (jnp.full(shape, neg_inf, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32),
+                jnp.zeros(shape, jnp.float32))
+        for s in range(s_lo, s_hi):
+            lo = P - s
+            d_s = disp[:, lo:lo + W] * sign
+            r_s = red[:, lo:lo + W]
+            g_s = green[:, lo:lo + W]
+            b_s = blue[:, lo:lo + W]
+            # depth recovered from signed disparity: d_s*sign = |disp|
+            z_s = d_s * (sign * inv_max_disp)
+            k = jnp.floor(d_s)
+            frac = d_s - k
+            is_floor = k == s
+            is_ceil = (k == s - 1) & (frac > 0.3)
+            key = jnp.where(is_ceil, 2.0 + z_s,
+                            jnp.where(is_floor, z_s, neg_inf))
+            wgt = jnp.where(is_ceil, frac, 1.0 - frac)
+            take = key > best[0]
+            best = select(best, take, (key, wgt, r_s, g_s, b_s))
+        return best
+
+    lk, lw, lr, lg, lb = run_eye(1.0, 0, D + 2)
+    lkey_ref[...] = lk
+    lw_ref[...] = lw
+    lr_ref[...] = lr
+    lg_ref[...] = lg
+    lb_ref[...] = lb
+
+    rk, rw, rr, rg, rb = run_eye(-1.0, -D, 2)
+    rkey_ref[...] = rk
+    rw_ref[...] = rw
+    rr_ref[...] = rr
+    rg_ref[...] = rg
+    rb_ref[...] = rb
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
+def forward_warp_stereo_pallas(image, depth, max_disparity: float,
+                               block_rows: int = 8):
+    """Drop-in equivalent of ops.warp.forward_warp_stereo.
+
+    Args:
+      image: [B, H, W, C] float32 (C == 3).
+      depth: [B, H, W] float32 in [0, 1].
+      max_disparity: static maximum disparity in pixels.
+
+    Returns:
+      (left, left_mask, right, right_mask) with the jnp version's semantics.
+    """
+    B, H, W, C = image.shape
+    assert C == 3, "pallas warp kernel expects RGB"
+    D = int(math.floor(max_disparity)) + 1
+    P = D + 2
+
+    disp = depth * max_disparity
+    # fold batch into rows so one 2-D grid covers everything
+    disp2 = disp.reshape(B * H, W)
+    planes = [image[..., c].reshape(B * H, W) for c in range(3)]
+
+    disp_p = jnp.pad(disp2, [(0, 0), (P, P)], constant_values=_SENTINEL)
+    planes_p = [jnp.pad(pl_, [(0, 0), (P, P)]) for pl_ in planes]
+
+    rows = B * H
+    grid = (pl.cdiv(rows, block_rows),)
+
+    in_spec = pl.BlockSpec((block_rows, W + 2 * P), lambda i: (i, 0),
+                           memory_space=pltpu.VMEM)
+    out_spec = pl.BlockSpec((block_rows, W), lambda i: (i, 0),
+                            memory_space=pltpu.VMEM)
+    out_shape = [jax.ShapeDtypeStruct((rows, W), jnp.float32)] * 10
+
+    outs = pl.pallas_call(
+        functools.partial(_warp_kernel, W=W, P=P, D=D,
+                          inv_max_disp=1.0 / max_disparity
+                          if max_disparity > 0 else 0.0),
+        grid=grid,
+        in_specs=[in_spec] * 4,
+        out_specs=[out_spec] * 10,
+        out_shape=out_shape,
+        # CPU (tests / virtual meshes) has no Mosaic backend
+        interpret=jax.default_backend() != "tpu",
+    )(disp_p, *planes_p)
+
+    (lk, lw, lr, lg, lb, rk, rw, rr, rg, rb) = outs
+
+    def pack(key, wgt, r, g, b):
+        img = jnp.stack([r, g, b], axis=-1).reshape(B, H, W, 3)
+        mask = ((wgt > 0.1) & (key > -jnp.inf)).astype(jnp.float32)
+        return img, mask.reshape(B, H, W)
+
+    left, left_mask = pack(lk, lw, lr, lg, lb)
+    right, right_mask = pack(rk, rw, rr, rg, rb)
+    return left, left_mask, right, right_mask

@@ -151,17 +151,24 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
     depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
                               checkpoint)
 
+    from vsc_tpu.parallel.auto import device_count, pad_to_multiple, shard_batch
+    ndev = device_count()
+
     def load_batch(chunk):
-        frames = np.empty((len(chunk), H, W, 3), np.uint8)
+        # pad ragged final batches up to a device-count multiple so the
+        # sharded dispatch shape stays static
+        n = pad_to_multiple(len(chunk), ndev)
+        frames = np.empty((n, H, W, 3), np.uint8)
         for i, (src, _) in enumerate(chunk):
             img = cv2.imread(str(src), cv2.IMREAD_COLOR)
             if img is None:
                 raise IOError(f"cannot read {src}")
             frames[i] = img[:, :, ::-1]  # BGR -> RGB
+        frames[len(chunk):] = frames[max(len(chunk) - 1, 0)]
         return frames
 
     def compute(batch):
-        return depth_fn(batch)
+        return depth_fn(shard_batch(batch))
 
     def split_results(result, chunk):
         host = np.asarray(result)  # blocks until the batch is done
@@ -189,13 +196,15 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
             return False
         return True
 
+    from vsc_tpu.utils.profiling import trace
     pbar = tqdm(total=len(all_files), initial=skipped, unit="img",
                 mininterval=0.5)
     try:
-        done = run_pipeline(
-            todo, load_batch, compute, save_one, split_results,
-            batch_size=batch_size, interactive=interactive,
-            progress_cb=pbar.update)
+        with trace("depth_map_generator"):
+            done = run_pipeline(
+                todo, load_batch, compute, save_one, split_results,
+                batch_size=batch_size, interactive=interactive,
+                progress_cb=pbar.update)
     except SaveError:
         pbar.close()
         return False

@@ -103,12 +103,19 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
 
     accel_failed = []
 
+    from vsc_tpu.parallel.auto import device_count, pad_to_multiple, shard_batch
+    ndev = device_count()
+
     def load_batch(chunk):
         rgbs, depths = [], []
         for fp, dp, _ in chunk:
             rgb, depth = load_image_pair(fp, dp)
             rgbs.append(rgb)
             depths.append(depth)
+        # pad ragged final batches so the sharded dispatch shape stays static
+        while len(rgbs) % max(ndev, 1):
+            rgbs.append(rgbs[-1])
+            depths.append(depths[-1])
         return np.stack(rgbs), np.stack(depths)
 
     def compute(batch):
@@ -118,7 +125,7 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
             accel_failed.append(True)
             raise KeyboardInterrupt  # unwind the pipeline loop
         rgbs, depths = batch
-        return generate_sbs(rgbs, depths, params)
+        return generate_sbs(shard_batch(rgbs), shard_batch(depths), params)
 
     def split_results(result, chunk):
         host = np.asarray(result)
@@ -137,12 +144,15 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
             dp.unlink(missing_ok=True)
         return True
 
+    from vsc_tpu.utils.profiling import trace
     pbar = tqdm(total=len(all_pairs), initial=skipped, unit="img",
                 mininterval=0.5)
     try:
-        done = run_pipeline(todo, load_batch, compute, save_one,
-                            split_results, batch_size=batch_size,
-                            interactive=interactive, progress_cb=pbar.update)
+        with trace("sbs_generator"):
+            done = run_pipeline(todo, load_batch, compute, save_one,
+                                split_results, batch_size=batch_size,
+                                interactive=interactive,
+                                progress_cb=pbar.update)
     except SaveError:
         pbar.close()
         return 1

@@ -1,0 +1,186 @@
+"""
+Streaming converter (TPU-native fast path)
+==========================================
+
+Fuses frame extraction, depth estimation, SBS generation and chunk encoding
+into ONE streaming process with no PNG intermediates:
+
+  vscmedia decode (raw RGB pipe) -> device batches -> depth jit -> SBS jit
+    -> raw RGB pipe -> vscmedia x265 encoder -> chunks/sbs_XXXXXX_YYYYYY.mkv
+
+This is the "streaming upgrade" SURVEY.md section 2 calls out: the
+reference's biggest structural inefficiency is the PNG round-trip between
+every step (frames/ -> depth_maps/ -> sbs/ each hit disk as images,
+~5 GB/1000 frames at 1080p, README.md:358). Here only encoded video chunks
+touch disk; resume still works at chunk granularity because the output
+uses the standard chunk naming, and the standard video_concatenator
+finishes the job (including the audio mux).
+
+The classic step-by-step CLIs remain the compatible path; this command is
+the performance path:
+
+    python stream_convert.py <workflow>          # all remaining frames
+    python stream_convert.py <workflow> --chunk-size 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+from vsc_tpu.config import ConfigError, StereoParams, get_path, load_config
+
+
+def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
+        chunk_size: int = 1500, model_name: str | None = None,
+        input_size: int = 1536, concat: bool = True) -> bool:
+    import numpy as np
+    from tqdm import tqdm
+
+    from vsc_tpu.io.media import RawFrameSink, decode_frames
+    from vsc_tpu.io.probe import probe_video
+    from vsc_tpu.pipeline.chunk_generator import find_chunks
+    from vsc_tpu.pipeline.depth_map_generator import CHECKPOINT_ENV, build_depth_fn
+    from vsc_tpu.ops.stereo import generate_sbs
+    from vsc_tpu.utils.profiling import Throughput, trace
+
+    input_video = get_path(workflow_path, config, "input_video")
+    chunks_dir = get_path(workflow_path, config, "chunks")
+    chunks_dir.mkdir(parents=True, exist_ok=True)
+
+    info = probe_video(input_video)
+    if not info:
+        print(f"ERROR: cannot probe input video: {input_video}")
+        return False
+    W, H = info["width"], info["height"]
+    framerate = info["r_frame_rate"]
+    total = int(info["nb_frames"])
+
+    # resume point from existing chunks (frame numbers are 1-based like the
+    # extracted-PNG convention; chunk end N means frames 1..N are encoded)
+    existing = find_chunks(chunks_dir)
+    done_upto = max((e for _, e, _ in existing), default=0)
+    if done_upto >= total > 0:
+        print("All frames already encoded into chunks.")
+    else:
+        checkpoint = os.environ.get(CHECKPOINT_ENV)
+        if model_name is None:
+            model_name = "depthpro" if checkpoint else "stub"
+        params = StereoParams.from_config(config["stereo"])
+        use_16bit = False  # depth never hits disk on this path
+        depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
+                                  checkpoint)
+        print(f"Streaming {input_video.name}: {W}x{H} @ {framerate}, "
+              f"{total} frames, resume from {done_upto}, "
+              f"model={model_name}, batch={batch_size}")
+
+        crf = config["encoding"]["crf"]
+        preset = config["encoding"]["preset"]
+
+        frame_iter = decode_frames(input_video, W, H, start=done_upto)
+        pbar = tqdm(total=total, initial=done_upto, unit="frame",
+                    mininterval=0.5)
+        meter = Throughput()
+        frame_no = done_upto  # number of frames fully handed to an encoder
+
+        with trace("stream_convert"):
+            while frame_no < total or total == 0:
+                # one chunk: up to chunk_size frames into an atomic .mkv
+                start_frame = frame_no + 1
+                end_target = min(frame_no + chunk_size, total) if total \
+                    else frame_no + chunk_size
+                out = chunks_dir / f"sbs_{start_frame:06d}_{end_target:06d}.mkv"
+                sink = RawFrameSink(out, 2 * W, H, framerate,
+                                    crf=crf, preset=preset)
+                produced = 0
+                try:
+                    eof = False
+                    while frame_no + produced < end_target:
+                        raws = []
+                        while len(raws) < batch_size:
+                            if frame_no + produced + len(raws) >= end_target:
+                                break
+                            raw = next(frame_iter, None)
+                            if raw is None:
+                                eof = True
+                                break
+                            raws.append(raw)
+                        if not raws:
+                            break
+                        rgb = np.frombuffer(b"".join(raws), np.uint8)
+                        rgb = rgb.reshape(len(raws), H, W, 3)
+                        n = len(raws)
+                        if n < batch_size:  # pad for static dispatch shape
+                            pad = np.repeat(rgb[-1:], batch_size - n, axis=0)
+                            rgb = np.concatenate([rgb, pad], axis=0)
+                        depth = depth_fn(rgb)
+                        sbs = np.asarray(generate_sbs(rgb, depth, params))[:n]
+                        sink.write(sbs.tobytes())
+                        produced += n
+                        pbar.update(n)
+                        meter.add(n)
+                        pbar.set_postfix_str(f"{meter.rate:.2f} fps")
+                        if eof:
+                            break
+                except Exception as e:
+                    sink.close(success=False)
+                    pbar.close()
+                    print(f"ERROR: streaming conversion failed: {e}")
+                    return False
+
+                if produced == 0:
+                    sink.close(success=False)
+                    break
+                actual_end = frame_no + produced
+                if actual_end != end_target:
+                    # short final chunk: fix the name to the true range
+                    sink.close(success=True)
+                    fixed = chunks_dir / f"sbs_{start_frame:06d}_{actual_end:06d}.mkv"
+                    out.rename(fixed)
+                else:
+                    sink.close(success=True)
+                frame_no = actual_end
+                if produced < end_target - start_frame + 1:
+                    break  # decoder ran dry
+        pbar.close()
+        print(f"Encoded up to frame {frame_no}.")
+
+    if concat:
+        from vsc_tpu.pipeline import video_concatenator
+        return video_concatenator.run(workflow_path, config)
+    return True
+
+
+def main(argv=None) -> int:
+    parser = argparse.ArgumentParser(
+        description="Streaming video->stereo conversion (no PNG intermediates)")
+    parser.add_argument("workflow_path", type=Path)
+    parser.add_argument("--cpu", action="store_true")
+    parser.add_argument("--batch-size", type=int, default=4)
+    parser.add_argument("--chunk-size", type=int, default=1500)
+    parser.add_argument("--model", choices=("depthpro", "stub"), default=None)
+    parser.add_argument("--input-size", type=int, default=1536)
+    parser.add_argument("--no-concat", action="store_true",
+                        help="Stop after chunk encoding")
+    args = parser.parse_args(argv)
+
+    if args.cpu:
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    if not args.workflow_path.is_dir():
+        print(f"ERROR: Workflow directory not found: {args.workflow_path}")
+        return 1
+    try:
+        config = load_config(args.workflow_path)
+    except ConfigError as e:
+        print(f"ERROR: {e}")
+        return 1
+    ok = run(args.workflow_path, config, batch_size=args.batch_size,
+             chunk_size=args.chunk_size, model_name=args.model,
+             input_size=args.input_size, concat=not args.no_concat)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
