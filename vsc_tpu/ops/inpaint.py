@@ -38,19 +38,27 @@ _OFFSETS = [(dy, dx, 1.0 / math.hypot(dy, dx))
 
 
 def _avgpool2(x):
+    """2x2 average pool via strided slices. (A 6-D reshape-based pool puts
+    size-2/size-3 dims in the minor tiled positions on TPU, which pads each
+    tile to 8x128 and inflates the buffer ~128x — 30 GB at 1080p
+    supersampled shapes.)"""
     import jax.numpy as jnp
     B, H, W, C = x.shape
     Hp, Wp = H + (H & 1), W + (W & 1)
     if (Hp, Wp) != (H, W):
         x = jnp.pad(x, [(0, 0), (0, Hp - H), (0, Wp - W), (0, 0)], mode="edge")
-    x = x.reshape(B, Hp // 2, 2, Wp // 2, 2, C)
-    return x.mean(axis=(2, 4))
+    xh = (x[:, 0::2] + x[:, 1::2]) * 0.5
+    return (xh[:, :, 0::2] + xh[:, :, 1::2]) * 0.5
 
 
 def _upsample2(x, out_h, out_w):
+    """Nearest 2x upsample via index gathers (layout-friendly on TPU)."""
     import jax.numpy as jnp
-    x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    return x[:, :out_h, :out_w, :]
+    import numpy as np
+    idx_h = jnp.asarray(np.arange(out_h) // 2, jnp.int32)
+    idx_w = jnp.asarray(np.arange(out_w) // 2, jnp.int32)
+    x = jnp.take(x, idx_h, axis=1)
+    return jnp.take(x, idx_w, axis=2)
 
 
 def _pyramid_fill(image, valid):
@@ -112,6 +120,8 @@ def pyramid_inpaint(image, hole_mask, sweeps: int = 6, polish: int = 4):
     """
     import jax.numpy as jnp
 
+    import jax
+
     valid = (1.0 - hole_mask.astype(image.dtype))[..., None]   # [B,H,W,1]
     B, H, W, C = image.shape
 
@@ -119,20 +129,27 @@ def pyramid_inpaint(image, hole_mask, sweeps: int = 6, polish: int = 4):
     smooth = _pyramid_fill(image, valid)
 
     # ...then frontier propagation from the true boundary, which overwrites
-    # the near-boundary band in Telea's fill order.
-    val = image * valid
-    known = valid
-    for _ in range(sweeps):
-        val, known = _frontier_sweep(val, known)
+    # the near-boundary band in Telea's fill order. lax.scan (not an
+    # unrolled loop) so XLA double-buffers the carry instead of keeping
+    # every sweep's full-resolution intermediates live — at 1080p
+    # supersampled shapes the unrolled form needs tens of GB of HLO temps.
+    def sweep_body(carry, _):
+        val, known = carry
+        return _frontier_sweep(val, known), None
+
+    (val, known), _ = jax.lax.scan(sweep_body, (image * valid, valid),
+                                   None, length=sweeps)
 
     out = jnp.where(valid > 0, image, jnp.where(known > 0, val, smooth))
 
     # Jacobi polish over hole pixels only (valid pixels stay exact).
-    for _ in range(polish):
+    def polish_body(out, _):
         padded = jnp.pad(out, [(0, 0), (1, 1), (1, 1), (0, 0)], mode="edge")
         acc = jnp.zeros_like(out)
         for dy in range(3):
             for dx in range(3):
                 acc = acc + padded[:, dy:dy + H, dx:dx + W, :]
-        out = jnp.where(valid > 0, out, acc / 9.0)
+        return jnp.where(valid > 0, out, acc / 9.0), None
+
+    out, _ = jax.lax.scan(polish_body, out, None, length=polish)
     return out

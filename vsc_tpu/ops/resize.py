@@ -105,19 +105,24 @@ def resize_taps(src: int, dst: int, method: str):
 
 
 def _resample_axis(img, axis: int, dst: int, method: str):
+    """Per-tap gather + accumulate: peak memory stays O(output), never
+    O(output * taps) (a fused gather-reshape materializes the taps factor —
+    30 GB at 1080p supersampled shapes)."""
     import jax.numpy as jnp
     src = img.shape[axis]
     if src == dst:
         return img
     idx, wgt = resize_taps(src, dst, method)
     T = idx.shape[1]
-    gathered = jnp.take(img, jnp.asarray(idx.reshape(-1)), axis=axis)
-    new_shape = img.shape[:axis] + (dst, T) + img.shape[axis + 1:]
-    gathered = gathered.reshape(new_shape)
-    w_shape = [1] * gathered.ndim
-    w_shape[axis], w_shape[axis + 1] = dst, T
-    w = jnp.asarray(wgt).reshape(w_shape)
-    return (gathered * w).sum(axis=axis + 1)
+    w_shape = [1] * img.ndim
+    w_shape[axis] = dst
+    out = None
+    for t in range(T):
+        g = jnp.take(img, jnp.asarray(idx[:, t]), axis=axis)
+        w = jnp.asarray(wgt[:, t]).reshape(w_shape)
+        term = g * w
+        out = term if out is None else out + term
+    return out
 
 
 def resize(img, out_h: int, out_w: int, method: str = "bilinear",

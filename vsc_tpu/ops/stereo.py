@@ -185,26 +185,29 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     left, left_mask, right, right_mask = _forward_warp(
         rgb_st, depth_n, params.max_disparity)
 
-    # 7. per-eye post-processing
-    left = _postprocess_eye(left, left_mask, params.artifact_smoothing)
-    right = _postprocess_eye(right, right_mask, params.artifact_smoothing)
-
-    # 8. convergence crop
+    # 7-10. per-eye post-processing, crop, sharpen, downscale — run
+    # SEQUENTIALLY per eye via lax.map so only one eye's full-resolution
+    # postprocess temporaries are live at a time (the concurrent form
+    # roughly doubles peak HBM, which overflows at 1080p supersampled
+    # shapes).
     lo, ro, crop_w = _crop_offsets(H, W, params)
-    left = left[:, :, lo:lo + crop_w, :]
-    right = right[:, :, ro:ro + crop_w, :]
+    eyes_img = jnp.stack([left, right])          # [2, B, H', W', 3]
+    eyes_mask = jnp.stack([left_mask, right_mask])
+    eye_offsets = jnp.asarray([lo, ro], jnp.int32)
 
-    # 9. sharpen at warp resolution
-    if params.sharpen > 0:
-        left = unsharp_mask(left, params.sharpen)
-        right = unsharp_mask(right, params.sharpen)
+    def eye_body(args):
+        img, msk, off = args
+        img = _postprocess_eye(img, msk, params.artifact_smoothing)
+        img = jax.lax.dynamic_slice_in_dim(img, off, crop_w, axis=2)
+        if params.sharpen > 0:
+            img = unsharp_mask(img, params.sharpen)
+        if params.super_sampling > 1.0:
+            img = resize(img, H, W, "area", channel_last=True)
+        return img
 
-    # 10. area downscale + SBS pack
-    if params.super_sampling > 1.0:
-        left = resize(left, H, W, "area", channel_last=True)
-        right = resize(right, H, W, "area", channel_last=True)
+    finals = jax.lax.map(eye_body, (eyes_img, eyes_mask, eye_offsets))
 
-    sbs = jnp.concatenate([left, right], axis=2)
+    sbs = jnp.concatenate([finals[0], finals[1]], axis=2)
     return jnp.floor(jnp.clip(sbs, 0.0, 255.0)).astype(jnp.uint8)
 
 
