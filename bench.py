@@ -42,6 +42,8 @@ REFERENCE_FLOOR_FPS = 0.95  # documented estimate, see module docstring
 
 
 def build_workload():
+    from vsc_tpu.utils.jax_setup import setup_jax
+    setup_jax()  # persistent XLA cache: repeat bench runs start warm
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -113,20 +115,27 @@ def build_workload():
 
 def main() -> None:
     import jax
+    import numpy as np
 
     frames, run_depth, run_sbs, batch = build_workload()
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
+    def sync(x):
+        # device_get of a slice: block_until_ready is a no-op on the
+        # experimental axon TPU platform, so a host transfer is the only
+        # reliable completion barrier.
+        return np.asarray(x[:1, :1, :1])
+
     # warm-up / compile
     depth = run_depth(frames)
     sbs = run_sbs(frames, depth)
-    sbs.block_until_ready()
+    sync(sbs)
 
     t0 = time.perf_counter()
     for _ in range(iters):
         depth = run_depth(frames)
         sbs = run_sbs(frames, depth)
-    sbs.block_until_ready()
+    sync(sbs)
     elapsed = time.perf_counter() - t0
 
     fps = (iters * batch) / elapsed

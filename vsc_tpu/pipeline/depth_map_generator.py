@@ -41,6 +41,8 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
                    use_16bit: bool, checkpoint: str | None):
     """Returns f(u8 frames [B, H, W, 3]) -> quantized depth [B, H, W]
     (uint8 or uint16), fully jit-compiled."""
+    from vsc_tpu.utils.jax_setup import setup_jax
+    setup_jax()  # persistent XLA cache: warm starts after the first run
     import jax
     import jax.numpy as jnp
     from vsc_tpu.ops.resize import resize

@@ -63,6 +63,9 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
         check_accelerator_health
     from vsc_tpu.utils.console import suppress_cv2_logging
 
+    from vsc_tpu.utils.jax_setup import setup_jax
+    setup_jax()  # persistent XLA cache: warm starts after the first run
+
     frames_dir = get_path(workflow_path, config, "frames")
     depth_dir = get_path(workflow_path, config, "depth_maps")
     output_dir = get_path(workflow_path, config, "sbs")

@@ -1,0 +1,52 @@
+"""
+JAX runtime setup
+=================
+
+One-stop configuration applied by every compute entry point:
+
+  - persistent compilation cache: first-compile of the 1080p pipeline costs
+    minutes (notably through remote-compile TPU frontends); the on-disk
+    cache makes every later process start warm.
+  - sync(): a reliable completion barrier. On some experimental TPU
+    platforms Array.block_until_ready() returns immediately; transferring a
+    tiny slice to the host is the portable barrier. Use for timing only —
+    normal result consumption (np.asarray) already synchronizes.
+"""
+
+from __future__ import annotations
+
+import os
+
+__all__ = ["setup_jax", "sync"]
+
+_CACHE_ENV = "VSC_TPU_XLA_CACHE"
+_done = False
+
+
+def setup_jax() -> None:
+    """Idempotent; call before the first dispatch."""
+    global _done
+    if _done:
+        return
+    _done = True
+    import jax
+    cache_dir = os.environ.get(
+        _CACHE_ENV, os.path.join(os.path.expanduser("~"), ".cache",
+                                 "vsc_tpu_xla"))
+    if cache_dir and cache_dir != "0":
+        try:
+            os.makedirs(cache_dir, exist_ok=True)
+            jax.config.update("jax_compilation_cache_dir", cache_dir)
+            jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        except Exception:
+            pass  # older jax or unsupported backend: skip silently
+
+
+def sync(x):
+    """Block until `x` is computed (host-transfer barrier); returns x."""
+    import numpy as np
+    try:
+        np.asarray(x[tuple(0 for _ in range(x.ndim))])
+    except Exception:
+        np.asarray(x)
+    return x
