@@ -177,7 +177,8 @@ def main(argv=None) -> int:
     args = parser.parse_args(argv)
 
     if args.cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
+        from vsc_tpu.utils.jax_setup import force_cpu
+        force_cpu()
 
     if not args.workflow_path.is_dir():
         print(f"ERROR: Workflow directory not found: {args.workflow_path}")

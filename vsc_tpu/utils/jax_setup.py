@@ -42,6 +42,18 @@ def setup_jax() -> None:
             pass  # older jax or unsupported backend: skip silently
 
 
+def force_cpu() -> None:
+    """Honor a --cpu flag even where a sitecustomize pre-imports jax with a
+    pinned TPU platform (env JAX_PLATFORMS is read too early there). Only
+    effective before the first backend use."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    try:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+    except Exception:
+        pass
+
+
 def sync(x):
     """Block until `x` is computed (host-transfer barrier); returns x."""
     import numpy as np
