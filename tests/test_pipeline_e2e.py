@@ -88,16 +88,23 @@ def test_full_pipeline(workflow, test_video):
 
 
 def test_sbs_resume_skips_existing(workflow, test_video):
+    import cv2
+    import numpy as np
     from vsc_tpu.pipeline import depth_map_generator, frame_extractor, \
         sbs_generator
 
     config = load_config(workflow)
     config["stereo"].update(FAST_STEREO)
+    config["depth"]["save_16bit"] = True  # exercise the TIFF path
     save_config(workflow, config)
     assert frame_extractor.run(workflow, config)
     assert depth_map_generator.run(workflow, config, batch_size=8,
                                    interactive=False, model_name="stub",
                                    input_size=96)
+    tifs = sorted(get_path(workflow, config, "depth_maps").glob("*.tif"))
+    assert len(tifs) == 36
+    d0 = cv2.imread(str(tifs[0]), cv2.IMREAD_UNCHANGED)
+    assert d0.dtype == np.uint16 and d0.max() == 65535
     rc = sbs_generator.run(workflow, config, batch_size=8, interactive=False)
     assert rc == 0
     # free_space 'frame' mode deleted consumed frames
