@@ -58,15 +58,20 @@ def build_workload():
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     model_kind = os.environ.get("BENCH_DEPTH", "flagship")
 
+    # bf16 compute for the ViT: the MXU's native inference precision
+    # (params stay f32; depth output is min-max normalized so relative
+    # precision is what matters).
     if model_kind == "full":
-        cfg = DepthProConfig()  # 1536, ViT-L/16
+        cfg = DepthProConfig(
+            encoder=ViTConfig(dtype=jnp.bfloat16), dtype=jnp.bfloat16)
     elif model_kind == "flagship":
         cfg = DepthProConfig(
             img_size=384, tile_size=96,
             encoder=ViTConfig(img_size=96, patch_size=12, embed_dim=256,
-                              depth=6, num_heads=8),
+                              depth=6, num_heads=8, dtype=jnp.bfloat16),
             hook_block_ids=(1, 3), decoder_dim=128,
-            dims_encoder=(128, 128, 256, 256, 256))
+            dims_encoder=(128, 128, 256, 256, 256),
+            dtype=jnp.bfloat16)
     else:
         cfg = None
 
