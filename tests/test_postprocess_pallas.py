@@ -1,0 +1,57 @@
+"""Fused postprocess kernel vs the jnp reference path."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from vsc_tpu.ops.filters import bilateral_filter, dilate3x3
+from vsc_tpu.ops.inpaint import _pyramid_fill, pyramid_inpaint
+from vsc_tpu.ops.postprocess_pallas import postprocess_eye_pallas
+
+
+def _jnp_reference(warped, valid, smoothing):
+    img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
+    smooth = _pyramid_fill(img_u8, valid[..., None])
+    hole = dilate3x3(1.0 - valid)
+    x = warped
+    if smoothing > 0:
+        d = max(5, min(int(smoothing * 4), 15))
+        x = jnp.round(bilateral_filter(img_u8, d, 30.0, smoothing * 25.0))
+    img_u8b = jnp.floor(jnp.clip(x, 0.0, 255.0))
+    filled = pyramid_inpaint(img_u8b, hole, interior=smooth)
+    return np.asarray(jnp.round(jnp.clip(filled, 0.0, 255.0))), \
+        np.asarray(smooth)
+
+
+def _inputs(b=1, h=48, w=640, seed=0, hole_frac=0.06):
+    rng = np.random.default_rng(seed)
+    img = (rng.random((b, h, w, 3)) * 255).astype(np.float32)
+    valid = (rng.random((b, h, w)) > hole_frac).astype(np.float32)
+    img = img * valid[..., None]  # holes are unwritten (zero), like the warp
+    return img, valid
+
+
+@pytest.mark.parametrize("smoothing", [0.0, 1.0])
+def test_fused_matches_jnp(smoothing):
+    img, valid = _inputs()
+    ref, smooth = _jnp_reference(jnp.asarray(img), jnp.asarray(valid),
+                                 smoothing)
+    got = np.asarray(postprocess_eye_pallas(
+        jnp.asarray(img), jnp.asarray(valid), jnp.asarray(smooth), smoothing))
+    diff = np.abs(got - ref)
+    # interior must match (to the code value); only a <=5px border frame may
+    # differ, from the documented fill/polish boundary-mode deviation
+    interior = diff[:, 5:-5, 5:-5]
+    assert interior.max() <= 1.0, f"interior maxdiff {interior.max()}"
+    assert (interior > 0).mean() < 0.001
+
+
+def test_fused_ragged_shapes():
+    # shapes not divisible by the block size exercise grid padding
+    img, valid = _inputs(b=2, h=37, w=300, seed=3)
+    ref, smooth = _jnp_reference(jnp.asarray(img), jnp.asarray(valid), 1.0)
+    got = np.asarray(postprocess_eye_pallas(
+        jnp.asarray(img), jnp.asarray(valid), jnp.asarray(smooth), 1.0))
+    diff = np.abs(got - ref)[:, 5:-5, 5:-5]
+    assert diff.max() <= 1.0

@@ -104,7 +104,8 @@ def _frontier_sweep(val, known):
     return new_val, new_known
 
 
-def pyramid_inpaint(image, hole_mask, sweeps: int = 5, polish: int = 4):
+def pyramid_inpaint(image, hole_mask, sweeps: int = 5, polish: int = 4,
+                    interior=None):
     """Fill holes in a batched image, Telea-like.
 
     Args:
@@ -113,6 +114,9 @@ def pyramid_inpaint(image, hole_mask, sweeps: int = 5, polish: int = 4):
       sweeps: frontier iterations (reach ~= 2*sweeps px from the boundary;
         wider interiors get the pyramid estimate).
       polish: 3x3 Jacobi smoothing passes over the filled pixels.
+      interior: optional precomputed [B, H, W, C] smooth estimate for hole
+        interiors beyond the sweeps' reach (default: masked pyramid fill of
+        `image`).
 
     Returns:
       [B, H, W, C] with holes filled; valid pixels bit-identical to input.
@@ -124,7 +128,7 @@ def pyramid_inpaint(image, hole_mask, sweeps: int = 5, polish: int = 4):
     B, H, W, C = image.shape
 
     # Interior fallback first (constant-time smooth estimate)...
-    smooth = _pyramid_fill(image, valid)
+    smooth = interior if interior is not None else _pyramid_fill(image, valid)
 
     # ...then frontier propagation from the true boundary.
     def sweep_body(carry, _):

@@ -1,0 +1,257 @@
+"""
+Fused per-eye postprocess — Pallas TPU kernel
+=============================================
+
+Bilateral artifact smoothing + hole-mask dilation + frontier inpainting +
+Jacobi polish (the stereo pipeline's stages 7a-7b, ops/stereo._postprocess_eye)
+fused into ONE kernel: each 2-D block is DMA'd into VMEM once with a halo
+wide enough for every stage's stencil, the whole filter chain runs out of
+VMEM with f32 accumulators, and the finished block is written once.
+
+Why: these stages dominate the pipeline (~80% of frame time as separate XLA
+fusions — every sweep re-reads full-resolution planes from HBM). Fused,
+HBM traffic drops to ~1 read + 1 write per plane and the VPU runs the
+stencil chain at full arithmetic intensity.
+
+Boundary semantics (matching the jnp path exactly):
+  - image planes pre-padded reflect-101 (bilateral's border mode),
+  - `valid` zero-padded => out-of-image pixels are UNKNOWN to the fill
+    (matches the jnp constant-0 known-mask padding),
+  - `inimg` indicator zero-padded => the dilated hole mask never extends
+    outside the image (matches the jnp constant-0 hole padding),
+  - hole interiors beyond the sweeps' reach take the precomputed pyramid
+    `smooth` estimate (same input plane the jnp path uses).
+The only intentional deviation: the Jacobi polish sees reflect-101 border
+values where the jnp path edge-replicates — a <=1-code difference on filled
+pixels in the outermost rows/columns (the equivalence test bounds it).
+
+Intra-kernel shifts use pltpu.roll (circular): wrap-around garbage stays
+inside the halo margin because the halo equals the total stencil radius,
+so the written center block is exact.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["postprocess_eye_pallas"]
+
+_FILL_RADIUS = 2
+_FILL_OFFS = [(dy, dx, 1.0 / math.hypot(dy, dx))
+              for dy in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
+              for dx in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
+              if (dy, dx) != (0, 0)
+              and dy * dy + dx * dx <= _FILL_RADIUS * _FILL_RADIUS + 1]
+
+BLOCK_R = 64
+BLOCK_C = 256
+
+
+def _bilateral_offs(radius: int):
+    return [(dy, dx)
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if dy * dy + dx * dx <= radius * radius]
+
+
+def _shift(a, dy: int, dx: int):
+    """shifted[y, x] = a[y+dy, x+dx] via circular rolls (halo absorbs wrap).
+    pltpu.roll requires non-negative shifts, so negatives wrap modulo dim."""
+    if dy:
+        a = pltpu.roll(a, (-dy) % a.shape[0], 0)
+    if dx:
+        a = pltpu.roll(a, (-dx) % a.shape[1], 1)
+    return a
+
+
+def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
+            out_ref, win_ref, sem,
+            *, halo_r: int, halo_c: int, smoothing: float, sweeps: int,
+            polish: int, sigma_color: float):
+    """Grid: (B, nr, nc). Inputs are [B, Hp, Wp] HBM planes (stacked as a
+    leading axis: imgs/smooth carry 3 channel-planes each)."""
+    b = pl.program_id(0)
+    i = pl.program_id(1)
+    j = pl.program_id(2)
+    WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
+    r0 = i * BLOCK_R
+    c0 = j * BLOCK_C
+
+    # ---- DMA the haloed window of all 8 planes into VMEM
+    copies = []
+    for k in range(3):
+        copies.append(pltpu.make_async_copy(
+            imgs_ref.at[k, b, pl.ds(r0, WR), pl.ds(c0, WC)],
+            win_ref.at[k], sem.at[k]))
+    copies.append(pltpu.make_async_copy(
+        valid_ref.at[b, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref.at[3],
+        sem.at[3]))
+    copies.append(pltpu.make_async_copy(
+        inimg_ref.at[b, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref.at[4],
+        sem.at[4]))
+    for k in range(3):
+        copies.append(pltpu.make_async_copy(
+            smooth_ref.at[k, b, pl.ds(r0, WR), pl.ds(c0, WC)],
+            win_ref.at[5 + k], sem.at[5 + k]))
+    for c in copies:
+        c.start()
+    for c in copies:
+        c.wait()
+
+    chans = [jnp.floor(jnp.clip(win_ref[k], 0.0, 255.0)) for k in range(3)]
+    valid = win_ref[3]
+    inimg = win_ref[4]
+    smooth = [win_ref[5 + k] for k in range(3)]
+
+    # ---- bilateral (cv2 weight laws), skipped when smoothing == 0
+    if smoothing > 0:
+        d = max(5, min(int(smoothing * 4), 15))
+        radius = d // 2
+        sigma_space = smoothing * 25.0
+        inv2sc = -0.5 / (sigma_color * sigma_color)
+        num = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
+        den = jnp.zeros((WR, WC), jnp.float32)
+        for dy, dx in _bilateral_offs(radius):
+            sw = math.exp(-0.5 * (dy * dy + dx * dx)
+                          / (sigma_space * sigma_space))
+            sh = [_shift(c, dy, dx) for c in chans]
+            cdiff = (jnp.abs(sh[0] - chans[0]) + jnp.abs(sh[1] - chans[1])
+                     + jnp.abs(sh[2] - chans[2]))
+            wgt = sw * jnp.exp(inv2sc * (cdiff * cdiff))
+            for k in range(3):
+                num[k] = num[k] + wgt * sh[k]
+            den = den + wgt
+        chans = [jnp.round(num[k] / den) for k in range(3)]
+        chans = [jnp.floor(jnp.clip(c, 0.0, 255.0)) for c in chans]
+
+    # ---- dilated hole mask (3x3, one iteration; zero outside the image)
+    hole_raw = jnp.maximum(inimg - valid, 0.0)
+    hole = hole_raw
+    for dy in (-1, 0, 1):
+        for dx in (-1, 0, 1):
+            if dy or dx:
+                hole = jnp.maximum(hole, _shift(hole_raw, dy, dx))
+    keep = 1.0 - hole * inimg  # pixels that stay exact
+
+    # ---- frontier fill (pad region stays unknown: inimg = 0 there)
+    val = [c * keep for c in chans]
+    known = keep * inimg
+    for _ in range(sweeps):
+        num = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
+        den = jnp.zeros((WR, WC), jnp.float32)
+        for dy, dx, w in _FILL_OFFS:
+            kk = _shift(known, dy, dx)
+            den = den + w * kk
+            for k in range(3):
+                num[k] = num[k] + (w * kk) * _shift(val[k], dy, dx)
+        reach = (den > 1e-8).astype(jnp.float32)
+        upd = (1.0 - known) * reach
+        inv_den = 1.0 / jnp.maximum(den, 1e-8)
+        for k in range(3):
+            val[k] = val[k] * (1.0 - upd) + (num[k] * inv_den) * upd
+        known = jnp.maximum(known, reach)
+
+    # unreached interior -> smooth estimate; exact pixels restored
+    for k in range(3):
+        filled = jnp.where(known > 0, val[k], smooth[k])
+        val[k] = jnp.where(keep > 0, chans[k], filled)
+
+    # ---- Jacobi polish over filled pixels
+    for _ in range(polish):
+        for k in range(3):
+            acc = jnp.zeros((WR, WC), jnp.float32)
+            for dy in (-1, 0, 1):
+                for dx in (-1, 0, 1):
+                    acc = acc + _shift(val[k], dy, dx)
+            val[k] = jnp.where(keep > 0, val[k], acc / 9.0)
+
+    for k in range(3):
+        out_ref[k, 0] = jnp.round(jnp.clip(
+            val[k][halo_r:halo_r + BLOCK_R, halo_c:halo_c + BLOCK_C],
+            0.0, 255.0))
+
+
+def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
+    """(row_halo, col_halo): the total stencil radius, rounded up so the
+    DMA window shape stays aligned to the (8, 128) f32 tile."""
+    rb = (max(5, min(int(smoothing * 4), 15)) // 2) if smoothing > 0 else 0
+    need = rb + 1 + _FILL_RADIUS * sweeps + polish
+    halo_r = -(-need // 4) * 4      # 2*halo_r multiple of 8
+    halo_c = -(-need // 64) * 64    # 2*halo_c multiple of 128
+    return halo_r, halo_c
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("smoothing", "sweeps", "polish"))
+def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
+                           sweeps: int = 5, polish: int = 4):
+    """Fused equivalent of ops.stereo's bilateral+inpaint postprocess.
+
+    Args:
+      warped: [B, H, W, 3] float32 (u8-valued) warped eye.
+      valid_mask: [B, H, W] float32, 1 where a source pixel landed.
+      smooth: [B, H, W, 3] float32 interior estimate (masked pyramid fill).
+      smoothing: StereoParams.artifact_smoothing (static).
+
+    Returns: [B, H, W, 3] float32 u8-valued postprocessed eye.
+    """
+    B, H, W, C = warped.shape
+    assert C == 3
+    halo_r, halo_c = _halo_for(smoothing, sweeps, polish)
+    nr = pl.cdiv(H, BLOCK_R)
+    nc = pl.cdiv(W, BLOCK_C)
+    Hp = nr * BLOCK_R + 2 * halo_r
+    Wp = nc * BLOCK_C + 2 * halo_c
+
+    def pad_plane(x, mode, value=0.0):
+        # reflect-101 needs halo < dim; our shapes are far larger
+        if mode == "reflect":
+            x = jnp.pad(x, [(0, 0), (halo_r, halo_r), (halo_c, halo_c)],
+                        mode="reflect")
+            return jnp.pad(
+                x, [(0, 0), (0, Hp - x.shape[1]), (0, Wp - x.shape[2])])
+        x = jnp.pad(x, [(0, 0), (halo_r, halo_r), (halo_c, halo_c)],
+                    constant_values=value)
+        return jnp.pad(
+            x, [(0, 0), (0, Hp - x.shape[1]), (0, Wp - x.shape[2])],
+            constant_values=value)
+
+    imgs = jnp.stack([pad_plane(warped[..., k], "reflect") for k in range(3)])
+    valid = pad_plane(valid_mask, "zero")
+    inimg = pad_plane(jnp.ones((B, H, W), jnp.float32), "zero")
+    smooth_p = jnp.stack([pad_plane(smooth[..., k], "zero") for k in range(3)])
+
+    WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
+    kernel = functools.partial(
+        _kernel, halo_r=halo_r, halo_c=halo_c, smoothing=smoothing,
+        sweeps=sweeps, polish=polish, sigma_color=30.0)
+
+    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, nr, nc),
+        in_specs=[hbm, hbm, hbm, hbm],
+        out_specs=pl.BlockSpec((3, 1, BLOCK_R, BLOCK_C),
+                               lambda b, i, j: (0, b, i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, B, nr * BLOCK_R, nc * BLOCK_C),
+                                       jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((8, WR, WC), jnp.float32),
+            pltpu.SemaphoreType.DMA((8,)),
+        ],
+        # the unrolled stencil chain keeps ~80 block-sized temporaries live;
+        # the default 16M scoped-vmem limit is too small (v5e has 128M)
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(imgs, valid, inimg, smooth_p)
+
+    out = out[:, :, :H, :W]                       # trim block padding
+    return jnp.moveaxis(out, 0, -1)               # [B, H, W, 3]

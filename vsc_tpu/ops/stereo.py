@@ -111,12 +111,28 @@ def _postprocess_eye(warped, valid_mask, artifact_smoothing: float):
     (stereo_core.py:459-485). Operates on u8-valued floats, returns
     u8-valued floats.
 
-    Precision note: both filters stay in f32 — bf16 was measured 1.2-1.4x
-    faster but its ~2^-8 relative accumulation error (+-2..3 code values
-    broadly, not just in holes) gets amplified by the downstream unsharp
-    mask and drops composite SSIM below the parity gates. A future fused
-    kernel can use bf16 operands with f32 accumulators."""
+    On TPU this dispatches to the fused Pallas kernel
+    (ops/postprocess_pallas.py) — one HBM pass for the whole filter chain;
+    elsewhere (or with VSC_TPU_POSTPROCESS=jnp) the jnp reference path runs.
+    Both paths share semantics; the hole-interior pyramid estimate is
+    computed from the pre-bilateral image in both.
+
+    Precision note: filters stay in f32 — bf16 was measured 1.2-1.4x faster
+    but its ~2^-8 relative accumulation error (+-2..3 code values broadly,
+    not just in holes) gets amplified by the downstream unsharp mask and
+    drops composite SSIM below the parity gates."""
     import jax.numpy as jnp
+    from vsc_tpu.ops.inpaint import _pyramid_fill
+
+    img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
+    smooth = _pyramid_fill(img_u8, valid_mask[..., None])
+
+    choice = os.environ.get("VSC_TPU_POSTPROCESS")
+    if choice != "jnp" and (choice == "pallas"
+                            or jax.default_backend() == "tpu"):
+        from vsc_tpu.ops.postprocess_pallas import postprocess_eye_pallas
+        return postprocess_eye_pallas(warped, valid_mask, smooth,
+                                      artifact_smoothing)
 
     hole = dilate3x3(1.0 - valid_mask)  # stereo_core.py:455-456
 
@@ -124,14 +140,13 @@ def _postprocess_eye(warped, valid_mask, artifact_smoothing: float):
         # cv2 path converts to uint8 by truncation first
         # (stereo_core.py:403-407), filters with
         # d=max(5,min(int(s*4),15)), sigmaColor=30, sigmaSpace=s*25.
-        img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
         d = max(5, min(int(artifact_smoothing * 4), 15))
         warped = jnp.round(bilateral_filter(img_u8, d, 30.0,
                                             artifact_smoothing * 25.0))
 
     # _to_numpy_uint8: clamp + truncate (stereo_core.py:332-346)
     img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
-    filled = pyramid_inpaint(img_u8, hole)
+    filled = pyramid_inpaint(img_u8, hole, interior=smooth)
     return jnp.round(jnp.clip(filled, 0.0, 255.0))
 
 
