@@ -44,6 +44,9 @@ class ViTConfig:
     mlp_ratio: float = 4.0
     layerscale_init: float = 1.0e-5
     dtype: Any = jnp.float32   # computation dtype (bf16 on TPU)
+    # Shard the token axis over the "model" mesh axis between blocks
+    # (sequence parallelism; requires running under a mesh context).
+    seq_shard: bool = False
 
     @property
     def grid_size(self) -> int:
@@ -112,6 +115,22 @@ class Mlp(nn.Module):
         return _dense(D, "fc2", ("mlp", "embed"), cfg)(x)
 
 
+def _seq_constraint(x, cfg):
+    """Sequence parallelism (Ulysses-style): between blocks the token axis is
+    sharded over the "model" mesh axis, so layernorm/MLP/layerscale activations
+    hold T/mp tokens per chip. Inside attention the QKV projection is
+    head-sharded (Megatron TP), so XLA's SPMD partitioner inserts the
+    token<->head all-to-alls around the attention core — the natural layout
+    for the 1536^2 model's ~9.2k-token sequences at small batch."""
+    if not cfg.seq_shard:
+        return x
+    from jax.sharding import PartitionSpec as P
+    try:
+        return jax.lax.with_sharding_constraint(x, P(None, "model", None))
+    except (ValueError, RuntimeError, NameError):
+        return x  # no mesh context: run unsharded
+
+
 class Block(nn.Module):
     cfg: ViTConfig
 
@@ -121,8 +140,10 @@ class Block(nn.Module):
         D = x.shape[-1]
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                                        param_dtype=jnp.float32, name=name)
+        x = _seq_constraint(x, cfg)
         x = x + LayerScale(D, cfg.layerscale_init, name="ls1")(
             Attention(cfg, name="attn")(ln("norm1")(x)))
+        x = _seq_constraint(x, cfg)
         x = x + LayerScale(D, cfg.layerscale_init, name="ls2")(
             Mlp(cfg, name="mlp")(ln("norm2")(x)))
         return x
