@@ -50,7 +50,13 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
     if model_name == "depthpro":
         from vsc_tpu.models import DepthPro, DepthProConfig
         from vsc_tpu.models.convert import load_params
-        cfg = DepthProConfig(img_size=input_size)
+        if input_size % 512 != 0:
+            raise ValueError(
+                "DepthPro input size must be a multiple of 512 (tile = "
+                "size/4, ViT/16 token grid must be a multiple of 8); the "
+                f"production size is 1536. Got {input_size}.")
+        cfg = DepthProConfig(img_size=input_size,
+                             tile_size=input_size // 4)
         model = DepthPro(cfg)
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
