@@ -64,14 +64,20 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
         from flax.core import meta
         params = meta.unbox(variables["params"])
         if checkpoint:
-            params = load_params(checkpoint, params)
+            if str(checkpoint).endswith((".pt", ".pth")):
+                from vsc_tpu.models.convert import convert_torch_checkpoint
+                params = convert_torch_checkpoint(checkpoint, model)
+            else:
+                params = load_params(checkpoint, params)
+        params = jax.device_put(params)
 
-        def infer(x):
-            return model.apply({"params": params}, x)["canonical_inverse_depth"]
+        def infer(p, x):
+            return model.apply({"params": p}, x)["canonical_inverse_depth"]
     elif model_name == "stub":
         from vsc_tpu.models.stub import luminance_depth
+        params = ()
 
-        def infer(x):
+        def infer(p, x):
             return luminance_depth(x)
     else:
         raise ValueError(f"unknown depth model: {model_name}")
@@ -79,14 +85,16 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
     max_val = 65535.0 if use_16bit else 255.0
     out_dtype = jnp.uint16 if use_16bit else jnp.uint8
 
+    # params MUST be a jit argument, not a closure: closed-over arrays are
+    # captured as program constants (2.5 GB of HLO for the full model).
     @jax.jit
-    def depth_fn(frames_u8):
+    def depth_fn_impl(p, frames_u8):
         x = frames_u8.astype(jnp.float32)
         # model-size resize + DepthPro normalization (/127.5 - 1,
         # depth_map_generator.py:90-94) — on device, bilinear like cv2
         x = resize(x, input_size, input_size, "bilinear", channel_last=True)
         x = x / 127.5 - 1.0
-        depth = infer(x)                                   # [B, S, S]
+        depth = infer(p, x)                                # [B, S, S]
         # resize back to the original frame size (bilinear), then per-frame
         # min-max normalize + quantize (depth_map_generator.py:217-236)
         depth = resize(depth, out_h, out_w, "bilinear")
@@ -96,7 +104,7 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
         norm = (depth - d_min) / rng_
         return jnp.round(norm * max_val).astype(out_dtype)
 
-    return depth_fn
+    return lambda frames_u8: depth_fn_impl(params, frames_u8)
 
 
 def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
