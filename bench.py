@@ -125,11 +125,8 @@ def main() -> None:
     frames, run_depth, run_sbs, batch = build_workload()
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
-    def sync(x):
-        # device_get of a slice: block_until_ready is a no-op on the
-        # experimental axon TPU platform, so a host transfer is the only
-        # reliable completion barrier.
-        return np.asarray(x[:1, :1, :1])
+    from vsc_tpu.utils.jax_setup import sync  # host-transfer barrier
+    # (block_until_ready is a no-op on the experimental axon TPU platform)
 
     # warm-up / compile
     depth = run_depth(frames)

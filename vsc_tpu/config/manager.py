@@ -19,7 +19,6 @@ from __future__ import annotations
 
 import copy
 import json
-import re
 from pathlib import Path
 from typing import Any
 
@@ -185,11 +184,26 @@ def load_config(workflow_path: Path) -> dict:
 
 def save_config(workflow_path: Path, config: dict) -> None:
     """Write config as tab-indented JSON with trailing newline (the
-    reference's on-disk style, /root/reference/helper/config_manager.py:302-317)."""
+    reference's on-disk style, /root/reference/helper/config_manager.py:302-317).
+
+    Atomic (tempfile + replace), unlike the reference: the orchestrator and
+    the tester may read config.json while it is being rewritten, and a
+    torn read is treated as workflow-complete downstream."""
+    import os
+    import tempfile
     config_file = Path(workflow_path) / "config.json"
-    with open(config_file, "w", encoding="utf-8") as f:
-        json.dump(config, f, indent="\t")
-        f.write("\n")
+    fd, tmp = tempfile.mkstemp(dir=str(config_file.parent), suffix=".json")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as f:
+            json.dump(config, f, indent="\t")
+            f.write("\n")
+        os.replace(tmp, config_file)
+    except Exception:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 def update_stereo_params(workflow_path: Path, stereo_params: dict) -> None:
@@ -243,8 +257,7 @@ def merge_cli_args(config: dict, cli_args: dict) -> dict:
     return result
 
 
-_FRAME_RE = re.compile(r"^frame_(\d+)\.png$")
-_DEPTH_RE = re.compile(r"^depth_frame_(\d+)\.(tif|png)$")
+from vsc_tpu.utils.frame_utils import DEPTH_RE as _DEPTH_RE, FRAME_RE as _FRAME_RE
 
 
 def find_valid_frames(workflow_path: Path, config: dict) -> list[int]:

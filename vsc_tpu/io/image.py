@@ -21,6 +21,7 @@ __all__ = [
     "read_depth",
     "write_rgb",
     "write_depth_verified",
+    "write_quantized_depth",
     "load_image_pair",
 ]
 
@@ -80,6 +81,34 @@ def _verify_written(path: str, expected_wh: tuple[int, int], is_16bit: bool) -> 
         return img.dtype == want
     except Exception:
         return False
+
+
+def write_quantized_depth(data: np.ndarray, output_path: Path | str) -> bool:
+    """Write an already-quantized depth map (uint8 -> PNG, uint16 -> deflate
+    TIFF by dtype) and verify by reading back; delete on corruption
+    (the write/verify half of /root/reference/depth_map_generator.py:194-250,
+    for pipelines that resize+normalize+quantize on the device)."""
+    import cv2
+    import os
+
+    output_path = str(output_path)
+    is_16bit = data.dtype == np.uint16
+    h, w = data.shape[:2]
+    with suppress_cv2_logging():
+        if is_16bit:
+            ok = cv2.imwrite(output_path, data,
+                             [cv2.IMWRITE_TIFF_COMPRESSION, 32946])  # deflate
+        else:
+            ok = cv2.imwrite(output_path, data)
+    if not ok:
+        return False
+    if not _verify_written(output_path, (w, h), is_16bit):
+        try:
+            os.remove(output_path)
+        except OSError:
+            pass
+        return False
+    return True
 
 
 def write_depth_verified(depth_map: np.ndarray, original_size: tuple[int, int],

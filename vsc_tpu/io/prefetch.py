@@ -27,6 +27,12 @@ class SaveError(RuntimeError):
     """Raised (in non-interactive mode) when an output cannot be written."""
 
 
+class PipelineAbort(Exception):
+    """Raise from compute() to stop the pipeline cleanly (drains the save
+    queue, returns the done-count; unlike KeyboardInterrupt it is not
+    re-raised)."""
+
+
 def run_pipeline(
     items: Iterable[Any],
     load_batch: Callable[[list[Any]], Any],
@@ -80,30 +86,38 @@ def run_pipeline(
             if entry is None:
                 save_q.task_done()
                 break
+            # Reference retry contract (depth_map_generator.py:399-437):
+            # N attempts with sleeps; in interactive mode block on Enter and
+            # RETRY the same item; never silently drop an output.
             ok = False
-            for attempt in range(retries):
-                try:
-                    if save_one(entry):
-                        ok = True
-                        break
-                    raise IOError("writer returned failure")
-                except Exception as e:
-                    print(f"\nSave failed ({attempt + 1}/{retries}): {e}")
-                    if attempt < retries - 1:
-                        time.sleep(retry_sleep)
-            if not ok:
+            while not ok and not stop.is_set():
+                for attempt in range(retries):
+                    try:
+                        if save_one(entry):
+                            ok = True
+                            break
+                        raise IOError("writer returned failure")
+                    except Exception as e:
+                        print(f"\nSave failed ({attempt + 1}/{retries}): {e}")
+                        if attempt < retries - 1:
+                            time.sleep(retry_sleep)
+                if ok:
+                    break
                 save_failed.set()
                 if not interactive:
                     print("\nERROR: Failed to write output. Exiting "
                           "(non-interactive mode).")
                     stop.set()
-                else:
-                    print("\nERROR: Failed to write output.\n"
-                          "Resolve the storage issue and press Enter to retry.")
-                    try:
-                        input()
-                    except (EOFError, KeyboardInterrupt):
-                        stop.set()
+                    break
+                print("\nERROR: Failed to write output.\n"
+                      "Resolve the storage issue and press Enter to retry.")
+                try:
+                    input()
+                except (EOFError, KeyboardInterrupt):
+                    stop.set()
+                    break
+            if ok:
+                save_failed.clear()
             save_q.task_done()
 
     lt = threading.Thread(target=loader, daemon=True)
@@ -131,9 +145,16 @@ def run_pipeline(
             done += len(pending[1])
             if progress_cb:
                 progress_cb(len(pending[1]))
+    except PipelineAbort:
+        stop.set()
     except KeyboardInterrupt:
         print("\nInterrupted! Draining save queue...")
         stop.set()
+        save_q.put(None)
+        st.join(timeout=30)
+        # Propagate: an interrupted step must NOT exit 0, or the
+        # orchestrator would mark the half-finished step DONE.
+        raise
 
     if not stop.is_set():
         save_q.join()

@@ -114,27 +114,31 @@ struct InputVideo {
     }
 };
 
-// Decode every video frame, invoking fn(AVFrame*). Returns frame count.
+// Decode video frames, invoking fn(AVFrame*); stops demuxing as soon as
+// max_frames have been decoded (-1 = all). Returns frame count.
 template <typename F>
-int64_t for_each_frame(InputVideo& in, F&& fn) {
+int64_t for_each_frame(InputVideo& in, F&& fn, int64_t max_frames = -1) {
     AVPacket* pkt = av_packet_alloc();
     AVFrame* frame = av_frame_alloc();
     int64_t n = 0;
+    auto done = [&]() { return max_frames >= 0 && n >= max_frames; };
     auto drain = [&]() {
-        while (avcodec_receive_frame(in.dec, frame) == 0) {
+        while (!done() && avcodec_receive_frame(in.dec, frame) == 0) {
             fn(frame);
             ++n;
             av_frame_unref(frame);
         }
     };
-    while (av_read_frame(in.fmt, pkt) >= 0) {
+    while (!done() && av_read_frame(in.fmt, pkt) >= 0) {
         if (pkt->stream_index == in.vstream) {
             if (avcodec_send_packet(in.dec, pkt) == 0) drain();
         }
         av_packet_unref(pkt);
     }
-    avcodec_send_packet(in.dec, nullptr);
-    drain();
+    if (!done()) {
+        avcodec_send_packet(in.dec, nullptr);
+        drain();
+    }
     av_packet_free(&pkt);
     av_frame_free(&frame);
     return n;
@@ -295,6 +299,7 @@ int cmd_decode(int argc, char** argv) {
     in.open_decoder();
     RgbConverter conv;
     int64_t idx = 0, emitted = 0;
+    int64_t max_frames = count >= 0 ? start + count : -1;
     for_each_frame(in, [&](AVFrame* f) {
         if (idx++ < start) return;
         if (count >= 0 && emitted >= count) return;
@@ -302,7 +307,7 @@ int cmd_decode(int argc, char** argv) {
         for (int y = 0; y < rgb->height; ++y)
             fwrite(rgb->data[0] + y * rgb->linesize[0], 1, rgb->width * 3, stdout);
         ++emitted;
-    });
+    }, max_frames);
     fflush(stdout);
     fprintf(stderr, "decoded %lld frames\n", (long long)emitted);
     return 0;
@@ -470,7 +475,7 @@ int cmd_encode(int argc, char** argv) {
             venc.push(f);
             ++n;
             prog.tick(n);
-        });
+        }, frames);
         if (!opened) die("no input frames found for pattern: " + input_pattern);
     } else if (raw_w > 0 && raw_h > 0) {
         // Raw RGB24 frames on stdin: the zero-copy path from the TPU pipeline

@@ -13,7 +13,6 @@ concatenator later collapses; gap validation before encoding; atomic
 from __future__ import annotations
 
 import argparse
-import re
 import sys
 from pathlib import Path
 
@@ -23,8 +22,7 @@ from vsc_tpu.config import ConfigError, get_path, load_config
 from vsc_tpu.io.media import MediaError, encode_chunk
 from vsc_tpu.io.probe import get_video_framerate
 
-_SBS_RE = re.compile(r"^sbs_(\d+)\.png$")
-_CHUNK_RE = re.compile(r"^sbs_(\d+)_(\d+)\.mkv$")
+from vsc_tpu.utils.frame_utils import CHUNK_RE as _CHUNK_RE, SBS_RE as _SBS_RE
 
 
 def find_sbs_frames(sbs_dir: Path) -> list[tuple[int, Path]]:

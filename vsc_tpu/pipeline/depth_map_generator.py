@@ -171,9 +171,9 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
     ndev = device_count()
 
     def load_batch(chunk):
-        # pad ragged final batches up to a device-count multiple so the
-        # sharded dispatch shape stays static
-        n = pad_to_multiple(len(chunk), ndev)
+        # pad ragged final batches up to the FULL batch size: a second shape
+        # would compile a second multi-minute program through the relay
+        n = max(pad_to_multiple(len(chunk), ndev), batch_size)
         frames = np.empty((n, H, W, 3), np.uint8)
         for i, (src, _) in enumerate(chunk):
             img = cv2.imread(str(src), cv2.IMREAD_COLOR)
@@ -190,27 +190,12 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
         host = np.asarray(result)  # blocks until the batch is done
         return [(host[i], chunk[i][1]) for i in range(len(chunk))]
 
+    from vsc_tpu.io.image import write_quantized_depth
+
     def save_one(entry):
         depth_map, out_path = entry
         # already resized+normalized+quantized on device: direct write+verify
-        import vsc_tpu.io.image as img_io
-        with_suffix_16 = out_path.suffix.lower() == ".tif"
-        from vsc_tpu.utils.console import suppress_cv2_logging
-        with suppress_cv2_logging():
-            if with_suffix_16:
-                ok = cv2.imwrite(str(out_path), depth_map,
-                                 [cv2.IMWRITE_TIFF_COMPRESSION, 32946])
-            else:
-                ok = cv2.imwrite(str(out_path), depth_map)
-        if not ok:
-            return False
-        if not img_io._verify_written(str(out_path), (W, H), with_suffix_16):
-            try:
-                os.remove(out_path)
-            except OSError:
-                pass
-            return False
-        return True
+        return write_quantized_depth(depth_map, out_path)
 
     from vsc_tpu.utils.profiling import trace
     pbar = tqdm(total=len(all_files), initial=skipped, unit="img",

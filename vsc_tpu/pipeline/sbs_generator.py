@@ -57,7 +57,7 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
     from tqdm import tqdm
 
     from vsc_tpu.io.image import load_image_pair
-    from vsc_tpu.io.prefetch import SaveError, run_pipeline
+    from vsc_tpu.io.prefetch import PipelineAbort, SaveError, run_pipeline
     from vsc_tpu.ops.stereo import generate_sbs
     from vsc_tpu.parallel.health import ACCEL_ERROR_EXIT_CODE, \
         check_accelerator_health
@@ -115,8 +115,10 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
             rgb, depth = load_image_pair(fp, dp)
             rgbs.append(rgb)
             depths.append(depth)
-        # pad ragged final batches so the sharded dispatch shape stays static
-        while len(rgbs) % max(ndev, 1):
+        # pad ragged final batches up to the FULL batch size: a second shape
+        # would compile a second multi-minute program through the relay
+        target = max(pad_to_multiple(len(rgbs), max(ndev, 1)), batch_size)
+        while len(rgbs) < target:
             rgbs.append(rgbs[-1])
             depths.append(depths[-1])
         return np.stack(rgbs), np.stack(depths)
@@ -126,7 +128,7 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
         # known-answer test (sbs_generator.py:312-317)
         if not check_accelerator_health():
             accel_failed.append(True)
-            raise KeyboardInterrupt  # unwind the pipeline loop
+            raise PipelineAbort("accelerator health check failed")
         rgbs, depths = batch
         return generate_sbs(shard_batch(rgbs), shard_batch(depths), params)
 

@@ -69,7 +69,9 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
         if model_name is None:
             model_name = "depthpro" if checkpoint else "stub"
         params = StereoParams.from_config(config["stereo"])
-        use_16bit = False  # depth never hits disk on this path
+        # quantize depth to the same grid the configured disk format would
+        # use, so this path matches the step-by-step pipeline bit-for-bit
+        use_16bit = bool(config["depth"]["save_16bit"])
         depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
                                   checkpoint)
         print(f"Streaming {input_video.name}: {W}x{H} @ {framerate}, "

@@ -95,10 +95,12 @@ def _workflow_display_name(workflow_path: str) -> str:
 
 def _free_gb(path: Path) -> float:
     try:
-        import psutil
-        return psutil.disk_usage(str(path)).free / (1024 ** 3)
-    except Exception:
-        return 0.0
+        import shutil
+        return shutil.disk_usage(str(path)).free / (1024 ** 3)
+    except OSError:
+        # Unknown is not "full": failing closed would deadlock the scheduler
+        # on a probe error; the encoder itself still fails loudly on ENOSPC.
+        return float("inf")
 
 
 class Orchestrator:

@@ -14,7 +14,6 @@ extend-final-chunk and the >=2-frame ffmpeg minimum
 
 from __future__ import annotations
 
-import re
 from functools import lru_cache
 from pathlib import Path
 
@@ -41,7 +40,7 @@ CHUNK_SIZE = 1500
 MIN_DEPTH_FOR_SBS = 1000
 DISK_SPACE_THRESHOLD_GB = 10
 
-_CHUNK_RE = re.compile(r"sbs_(\d+)_(\d+)\.mkv$")
+from vsc_tpu.utils.frame_utils import CHUNK_RE as _CHUNK_RE
 
 
 def invalidate_cache() -> None:

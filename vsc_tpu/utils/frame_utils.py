@@ -13,9 +13,17 @@ from __future__ import annotations
 import os
 import re
 
-__all__ = ["extract_frame_number", "frame_name", "depth_name", "sbs_name", "chunk_name"]
+__all__ = ["extract_frame_number", "frame_name", "depth_name", "sbs_name",
+           "chunk_name", "FRAME_RE", "DEPTH_RE", "SBS_RE", "CHUNK_RE"]
 
 _NUM_RE = re.compile(r"_(\d+)\.")
+
+# Canonical filename patterns — the single definition of the on-disk naming
+# contract shared by discovery, metrics, and resume logic.
+FRAME_RE = re.compile(r"^frame_(\d+)\.png$")
+DEPTH_RE = re.compile(r"^depth_frame_(\d+)\.(tif|png)$")
+SBS_RE = re.compile(r"^sbs_(\d+)\.png$")
+CHUNK_RE = re.compile(r"^sbs_(\d+)_(\d+)\.mkv$")
 
 
 def extract_frame_number(filepath: str | os.PathLike) -> int:
