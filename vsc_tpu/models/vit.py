@@ -8,8 +8,8 @@ depth model (the reference runs this architecture inside an opaque ONNX blob,
 can be batched, bf16, TP-sharded and sequence-sharded).
 
 TPU-first design notes:
-  - All heavy math is batched matmul (MXU). Attention uses
-    jax.nn.dot_product_attention over [B, T, H, Dh].
+  - All heavy math is batched matmul (MXU). Attention is explicit einsum
+    QK^T-softmax-V over [B, T, H, Dh] with f32 softmax.
   - Parameters carry *logical axis names* via flax's partitioning metadata:
       "embed"  -> replicated or model-sharded activations dim
       "heads"  -> tensor-parallel axis for attention
@@ -23,6 +23,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -47,6 +48,10 @@ class ViTConfig:
     # Shard the token axis over the "model" mesh axis between blocks
     # (sequence parallelism; requires running under a mesh context).
     seq_shard: bool = False
+    # Flash attention (Pallas TPU kernel): None = auto (on for single-chip
+    # TPU runs; the einsum path is used on CPU and under TP sharding, whose
+    # SPMD partitioning a pallas_call does not participate in).
+    flash_attention: bool | None = None
 
     @property
     def grid_size(self) -> int:
@@ -55,6 +60,43 @@ class ViTConfig:
     @property
     def num_patches(self) -> int:
         return self.grid_size * self.grid_size
+
+
+def _flash_attention(q, k, v, scale: float):
+    """Pallas TPU flash attention over [B, T, H, Dh] (token-major inputs).
+
+    The kernel wants [B, H, T, Dh] with T a block multiple, so the sequence
+    (ViT: patches + cls = e.g. 577) is zero-padded to a 128 multiple and the
+    pad tokens are isolated with segment ids (pad attends only to pad; its
+    output is sliced off). Avoids materializing the [B, H, T, T] logits that
+    make einsum attention HBM-bound at production shapes."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes, SegmentIds, flash_attention)
+
+    B, T, H, Dh = q.shape
+    Tp = -(-T // 128) * 128
+    pad = Tp - T
+
+    def prep(x):
+        x = jnp.moveaxis(x, 2, 1)  # [B, H, T, Dh]
+        if pad:
+            x = jnp.pad(x, [(0, 0), (0, 0), (0, pad), (0, 0)])
+        return x
+
+    qf, kf, vf = prep(q), prep(k), prep(v)
+    seg = None
+    if pad:
+        ids = (jnp.arange(Tp) >= T).astype(jnp.int32)[None, :]
+        ids = jnp.broadcast_to(ids, (B, Tp))
+        seg = SegmentIds(q=ids, kv=ids)
+
+    block = min(128, Tp)
+    out = flash_attention(
+        qf, kf, vf, segment_ids=seg, causal=False, sm_scale=scale,
+        block_sizes=BlockSizes(block_q=block, block_k_major=block,
+                               block_k=block, block_b=1))
+    out = jnp.moveaxis(out, 1, 2)  # [B, Tp, H, Dh]
+    return out[:, :T]
 
 
 def _dense(features, name, kernel_axes, cfg, use_bias=True):
@@ -82,8 +124,22 @@ class Attention(nn.Module):
         qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
         qkv = qkv.reshape(B, T, 3, H, Dh)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
-        # MXU-friendly fused attention; no masking (full bidirectional ViT).
-        out = jax.nn.dot_product_attention(q, k, v)
+        scale = 1.0 / math.sqrt(Dh)
+        use_flash = cfg.flash_attention
+        if use_flash is None:
+            use_flash = (jax.default_backend() == "tpu"
+                         and not cfg.seq_shard)
+        if use_flash:
+            from vsc_tpu.ops.attention_pallas import short_seq_attention
+            out = short_seq_attention(q, k, v, scale)
+        else:
+            # Einsum attention: f32 softmax, no mask (bidirectional ViT).
+            # Memory-bound on the [B, H, T, T] logits at production shapes —
+            # the flash path avoids materializing them.
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                                preferred_element_type=jnp.float32) * scale
+            probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         out = out.reshape(B, T, D)
         return _dense(D, "proj", ("heads", "embed"), cfg)(out)
 
