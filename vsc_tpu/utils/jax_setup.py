@@ -24,11 +24,18 @@ _done = False
 
 
 def setup_jax() -> None:
-    """Idempotent; call before the first dispatch."""
+    """Idempotent; call before the first dispatch. Also brings up
+    jax.distributed when pod/multi-host env metadata is present (no-op on a
+    single host)."""
     global _done
     if _done:
         return
     _done = True
+    try:
+        from vsc_tpu.parallel.distributed import initialize
+        initialize()
+    except Exception:
+        pass
     import jax
     cache_dir = os.environ.get(
         _CACHE_ENV, os.path.join(os.path.expanduser("~"), ".cache",
