@@ -1,0 +1,47 @@
+"""Headless sbs_tester grid sweep (BASELINE config #4 workload)."""
+
+import json
+
+import cv2
+import numpy as np
+
+from vsc_tpu.config import load_config, save_config
+
+
+def test_grid_sweep(workflow, test_video, tmp_path):
+    from vsc_tpu.pipeline.sbs_tester import run_grid
+
+    config = load_config(workflow)
+    config["stereo"].update({
+        "max_disparity": 4.0, "convergence": 0.0, "super_sampling": 1.0,
+        "edge_softness": 1.0, "artifact_smoothing": 0.0, "depth_gamma": 1.0,
+        "sharpen": 0.0,
+    })
+    save_config(workflow, config)
+
+    # two frame/depth pairs
+    rng = np.random.default_rng(0)
+    for n in (1, 2):
+        rgb = rng.integers(0, 256, (36, 48, 3), np.uint8)
+        cv2.imwrite(str(workflow / "frames" / f"frame_{n:06d}.png"), rgb)
+        cv2.imwrite(str(workflow / "depth_maps" / f"depth_frame_{n:06d}.png"),
+                    rng.integers(0, 256, (36, 48), np.uint8))
+
+    out_dir = tmp_path / "grid"
+    ok = run_grid(workflow, config, "max_disparity=3,5;depth_gamma=0.5",
+                  frame_limit=2, out_dir=out_dir)
+    assert ok
+    report = json.loads((out_dir / "grid_report.json").read_text())
+    assert len(report) == 2  # 2 disparities x 1 gamma
+    for entry in report:
+        assert entry["frames_per_s"] > 0
+    previews = list(out_dir.glob("grid_*.png"))
+    assert len(previews) == 2
+    img = cv2.imread(str(previews[0]))
+    assert img.shape == (36, 96, 3)  # H x 2W SBS preview
+
+
+def test_grid_requires_depth(workflow, test_video):
+    from vsc_tpu.pipeline.sbs_tester import run_grid
+    config = load_config(workflow)
+    assert not run_grid(workflow, config, "max_disparity=3", 2, None)
