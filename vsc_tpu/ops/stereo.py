@@ -216,10 +216,27 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     eyes_mask = jnp.stack([left_mask, right_mask])
     eye_offsets = jnp.asarray([lo, ro], jnp.int32)
 
+    # Opt-in (VSC_TPU_FINISH=pallas): the fused crop+unsharp+box kernel
+    # measured performance-neutral end-to-end on v5e (XLA already fuses
+    # these stages well), so the simpler jnp path stays the default.
+    ratio = s["scale_ratio"]
+    fused_finish = (params.super_sampling > 1.0
+                    and float(ratio).is_integer()
+                    and os.environ.get("VSC_TPU_FINISH") == "pallas"
+                    and jax.default_backend() == "tpu")
+
     def eye_body(args):
         img, msk, off = args
         img = _postprocess_eye(img, msk, params.artifact_smoothing)
         img = jax.lax.dynamic_slice_in_dim(img, off, crop_w, axis=2)
+        if fused_finish:
+            # crop already applied, so the kernel's offsets are static and
+            # its reflect borders match the jnp path exactly
+            from vsc_tpu.ops.finish_pallas import sharpen_downscale
+            planes = [sharpen_downscale(img[..., c], int(ratio),
+                                        float(params.sharpen), 0, 0, H, W)
+                      for c in range(3)]
+            return jnp.stack(planes, axis=-1)
         if params.sharpen > 0:
             img = unsharp_mask(img, params.sharpen)
         if params.super_sampling > 1.0:
