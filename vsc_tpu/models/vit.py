@@ -62,43 +62,6 @@ class ViTConfig:
         return self.grid_size * self.grid_size
 
 
-def _flash_attention(q, k, v, scale: float):
-    """Pallas TPU flash attention over [B, T, H, Dh] (token-major inputs).
-
-    The kernel wants [B, H, T, Dh] with T a block multiple, so the sequence
-    (ViT: patches + cls = e.g. 577) is zero-padded to a 128 multiple and the
-    pad tokens are isolated with segment ids (pad attends only to pad; its
-    output is sliced off). Avoids materializing the [B, H, T, T] logits that
-    make einsum attention HBM-bound at production shapes."""
-    from jax.experimental.pallas.ops.tpu.flash_attention import (
-        BlockSizes, SegmentIds, flash_attention)
-
-    B, T, H, Dh = q.shape
-    Tp = -(-T // 128) * 128
-    pad = Tp - T
-
-    def prep(x):
-        x = jnp.moveaxis(x, 2, 1)  # [B, H, T, Dh]
-        if pad:
-            x = jnp.pad(x, [(0, 0), (0, 0), (0, pad), (0, 0)])
-        return x
-
-    qf, kf, vf = prep(q), prep(k), prep(v)
-    seg = None
-    if pad:
-        ids = (jnp.arange(Tp) >= T).astype(jnp.int32)[None, :]
-        ids = jnp.broadcast_to(ids, (B, Tp))
-        seg = SegmentIds(q=ids, kv=ids)
-
-    block = min(128, Tp)
-    out = flash_attention(
-        qf, kf, vf, segment_ids=seg, causal=False, sm_scale=scale,
-        block_sizes=BlockSizes(block_q=block, block_k_major=block,
-                               block_k=block, block_b=1))
-    out = jnp.moveaxis(out, 1, 2)  # [B, Tp, H, Dh]
-    return out[:, :T]
-
-
 def _dense(features, name, kernel_axes, cfg, use_bias=True):
     return nn.Dense(
         features,
