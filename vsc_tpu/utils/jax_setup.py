@@ -62,10 +62,13 @@ def force_cpu() -> None:
 
 
 def sync(x):
-    """Block until `x` is computed (host-transfer barrier); returns x."""
+    """Block until `x` (array or pytree) is computed, via a host transfer of
+    one element of every leaf; returns x."""
+    import jax
     import numpy as np
-    try:
-        np.asarray(x[tuple(0 for _ in range(x.ndim))])
-    except Exception:
-        np.asarray(x)
+    for leaf in jax.tree.leaves(x):
+        try:
+            np.asarray(leaf[tuple(0 for _ in range(leaf.ndim))])
+        except Exception:
+            np.asarray(leaf)
     return x
