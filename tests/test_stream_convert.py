@@ -29,10 +29,12 @@ def test_stream_convert(workflow, test_video):
     assert stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
                               model_name="stub", input_size=96, concat=True)
 
+    # chunk_generator's 1-frame-overlap convention: each chunk after the
+    # first starts at the previous chunk's end frame
     chunks_dir = get_path(workflow, config, "chunks")
     names = sorted(p.name for p in chunks_dir.glob("*.mkv"))
-    assert names == ["sbs_000001_000016.mkv", "sbs_000017_000032.mkv",
-                     "sbs_000033_000036.mkv"]
+    assert names == ["sbs_000001_000016.mkv", "sbs_000016_000032.mkv",
+                     "sbs_000032_000036.mkv"]
 
     # no PNG intermediates were produced
     assert not list(get_path(workflow, config, "frames").glob("*.png"))
@@ -47,3 +49,13 @@ def test_stream_convert(workflow, test_video):
     # resume: everything already chunked -> short-circuits, still succeeds
     assert stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
                               model_name="stub", input_size=96, concat=False)
+
+    # real resume: drop the last two chunks; the restart must re-decode the
+    # boundary frame and reproduce the same overlapping chunk layout
+    (chunks_dir / "sbs_000016_000032.mkv").unlink()
+    (chunks_dir / "sbs_000032_000036.mkv").unlink()
+    assert stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
+                              model_name="stub", input_size=96, concat=False)
+    names = sorted(p.name for p in chunks_dir.glob("*.mkv"))
+    assert names == ["sbs_000001_000016.mkv", "sbs_000016_000032.mkv",
+                     "sbs_000032_000036.mkv"]

@@ -138,7 +138,12 @@ def convert_torch_checkpoint(ckpt_path: Path | str, model, rng=None,
     ckpt_path = Path(ckpt_path)
     if not ckpt_path.exists():
         raise FileNotFoundError(ckpt_path)
-    state = torch.load(str(ckpt_path), map_location="cpu")
+    try:
+        # weights_only: never execute pickled code from a downloaded .pt
+        state = torch.load(str(ckpt_path), map_location="cpu",
+                           weights_only=True)
+    except TypeError:  # torch < 1.13 has no weights_only kwarg
+        state = torch.load(str(ckpt_path), map_location="cpu")
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
     state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)

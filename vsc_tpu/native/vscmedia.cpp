@@ -159,6 +159,14 @@ int cmd_probe(int argc, char** argv) {
 
     AVRational rfr = v->r_frame_rate;
     AVRational afr = v->avg_frame_rate;
+    // r_frame_rate on matroska demux is estimated from ms-rounded timestamps
+    // and wobbles on short chunks; the container's DefaultDuration (afr) is
+    // authoritative for CFR content. Snap rfr to afr when they agree within
+    // the rounding error a 1 ms timebase can introduce.
+    if (afr.num > 0 && afr.den > 0 && rfr.num > 0 && rfr.den > 0) {
+        double r = av_q2d(rfr), a = av_q2d(afr);
+        if (r != a && a > 0 && std::abs(r / a - 1.0) < 0.03) rfr = afr;
+    }
     const char* vcodec = avcodec_get_name(v->codecpar->codec_id);
     int64_t nb = v->nb_frames;
     if (nb == 0 && duration > 0 && afr.num > 0)
@@ -357,6 +365,10 @@ struct VideoEncoder {
 
         stream = avformat_new_stream(ofmt, nullptr);
         stream->time_base = enc->time_base;
+        // matroska stores timestamps at ms precision; DefaultDuration (from
+        // avg_frame_rate) preserves the exact CFR rate for tiny chunks where
+        // timestamp-derived estimates wobble (e.g. 5 frames -> "293/12").
+        stream->avg_frame_rate = framerate;
         avcodec_parameters_from_context(stream->codecpar, enc);
 
         if (!(ofmt->oformat->flags & AVFMT_NOFILE)) {
@@ -780,6 +792,7 @@ int cmd_makevideo(int argc, char** argv) {
 
     AVStream* vs = avformat_new_stream(ofmt, nullptr);
     vs->time_base = venc->time_base;
+    vs->avg_frame_rate = fr;
     avcodec_parameters_from_context(vs->codecpar, venc);
 
     // Optional AAC tone.

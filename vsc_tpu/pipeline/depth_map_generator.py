@@ -173,7 +173,9 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
     def load_batch(chunk):
         # pad ragged final batches up to the FULL batch size: a second shape
         # would compile a second multi-minute program through the relay
-        n = max(pad_to_multiple(len(chunk), ndev), batch_size)
+        # pad_to_multiple AFTER the max so every dispatch shape is both the
+        # full batch size and ndev-divisible (batch_size itself may not be)
+        n = pad_to_multiple(max(len(chunk), batch_size), ndev)
         frames = np.empty((n, H, W, 3), np.uint8)
         for i, (src, _) in enumerate(chunk):
             img = cv2.imread(str(src), cv2.IMREAD_COLOR)

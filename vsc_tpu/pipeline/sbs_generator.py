@@ -117,7 +117,9 @@ def run(workflow_path: Path, config: dict, *, batch_size=DEFAULT_BATCH,
             depths.append(depth)
         # pad ragged final batches up to the FULL batch size: a second shape
         # would compile a second multi-minute program through the relay
-        target = max(pad_to_multiple(len(rgbs), max(ndev, 1)), batch_size)
+        # pad_to_multiple AFTER the max so every dispatch shape is both the
+        # full batch size and ndev-divisible (batch_size itself may not be)
+        target = pad_to_multiple(max(len(rgbs), batch_size), max(ndev, 1))
         while len(rgbs) < target:
             rgbs.append(rgbs[-1])
             depths.append(depths[-1])

@@ -81,24 +81,48 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
         crf = config["encoding"]["crf"]
         preset = config["encoding"]["preset"]
 
-        frame_iter = decode_frames(input_video, W, H, start=done_upto)
+        # Chunk convention matches chunk_generator's: every chunk after the
+        # first STARTS at the previous chunk's end frame (1-frame overlap,
+        # reference chunk_generator.py:111-137) so resumes that mix the step
+        # pipeline and this streaming path never produce the mixed
+        # overlap/non-overlap sequence video_concatenator rejects. When
+        # resuming we re-decode the boundary frame (decode starts one frame
+        # early); within a run the last encoded SBS frame is carried over.
+        resume_decode_from = max(done_upto - 1, 0)
+        frame_iter = decode_frames(input_video, W, H, start=resume_decode_from)
         pbar = tqdm(total=total, initial=done_upto, unit="frame",
                     mininterval=0.5)
         meter = Throughput()
-        frame_no = done_upto  # number of frames fully handed to an encoder
+        frame_no = done_upto    # highest fully-encoded frame number
+        carry_sbs = None        # encoded SBS of frame `frame_no` (overlap dup)
+        if done_upto > 0:
+            # boundary frame comes back out of the decoder first; it must be
+            # re-rendered (its SBS bytes are not in memory)
+            raw = next(frame_iter, None)
+            if raw is None:
+                print("ERROR: cannot re-decode chunk boundary frame")
+                return False
+            rgb = np.frombuffer(raw, np.uint8).reshape(1, H, W, 3)
+            rgb = np.repeat(rgb, batch_size, axis=0)
+            depth = depth_fn(rgb)
+            carry_sbs = np.asarray(generate_sbs(rgb, depth, params))[:1]
 
         with trace("stream_convert"):
             while frame_no < total or total == 0:
-                # one chunk: up to chunk_size frames into an atomic .mkv
-                start_frame = frame_no + 1
+                # one chunk: chunk_size NEW frames (+ the duplicated boundary
+                # frame on chunks after the first) into an atomic .mkv
+                start_frame = frame_no if frame_no > 0 else 1
                 end_target = min(frame_no + chunk_size, total) if total \
                     else frame_no + chunk_size
                 out = chunks_dir / f"sbs_{start_frame:06d}_{end_target:06d}.mkv"
                 sink = RawFrameSink(out, 2 * W, H, framerate,
                                     crf=crf, preset=preset)
-                produced = 0
+                produced = 0  # NEW frames encoded into this chunk
                 try:
+                    if carry_sbs is not None:
+                        sink.write(carry_sbs.tobytes())
                     eof = False
+                    last_sbs = None
                     while frame_no + produced < end_target:
                         raws = []
                         while len(raws) < batch_size:
@@ -120,6 +144,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                         depth = depth_fn(rgb)
                         sbs = np.asarray(generate_sbs(rgb, depth, params))[:n]
                         sink.write(sbs.tobytes())
+                        last_sbs = sbs[-1:]
                         produced += n
                         pbar.update(n)
                         meter.add(n)
@@ -135,6 +160,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                 if produced == 0:
                     sink.close(success=False)
                     break
+                carry_sbs = last_sbs
                 actual_end = frame_no + produced
                 if actual_end != end_target:
                     # short final chunk: fix the name to the true range
@@ -144,7 +170,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                 else:
                     sink.close(success=True)
                 frame_no = actual_end
-                if produced < end_target - start_frame + 1:
+                if eof:
                     break  # decoder ran dry
         pbar.close()
         print(f"Encoded up to frame {frame_no}.")

@@ -204,7 +204,7 @@ class Orchestrator:
                 config = load_config(path)
                 if get_path(path, config, "output_video").exists():
                     return False
-            except Exception:
+            except (ConfigError, OSError, KeyError, ValueError):
                 pass
             return True
 
@@ -325,7 +325,7 @@ class Orchestrator:
                 cwd=str(self.cfg.scripts_dir),
                 env=env,
             )
-        except Exception as e:
+        except (OSError, ValueError) as e:
             self.log(f"[red]ERROR[/red]: Failed to start {step}: "
                      f"{e} (cmd: {shlex.join(cmd)})")
             return False
@@ -370,8 +370,11 @@ class Orchestrator:
                     # plain (non-progress) lines also go to the log ring
                     if not from_cr and "%" not in line and "it/s" not in line:
                         self.log(f"[cyan][{label}][/cyan] {line}")
-        except (asyncio.CancelledError, Exception):
+        except asyncio.CancelledError:
             pass
+        except Exception as exc:  # noqa: BLE001 - reader must never kill the loop
+            self.log(f"[red]output reader crashed for {label}: "
+                     f"{type(exc).__name__}: {exc}[/red]")
         info.progress_line = ""
 
     async def _handle_accel_failure(self) -> None:
@@ -418,11 +421,23 @@ class Orchestrator:
                 self.log(f"[green]DONE[/green]: {info.step} for {name}")
             else:
                 tail_lines = [l for l in info.tail.splitlines() if l.strip()][-5:]
-                if info.step == "depth_map_generator" or rc == ACCEL_ERROR_EXIT_CODE:
+                accel_failure = (info.step == "depth_map_generator"
+                                 or rc == ACCEL_ERROR_EXIT_CODE)
+                if accel_failure:
                     await self._handle_accel_failure()
                 if info.step in TRANSIENT_STEPS:
                     self.log(f"[red]FAILED[/red]: {info.step} for {name} "
                              f"(exit {rc}) - will retry automatically")
+                elif accel_failure or rc < 0:
+                    # Accelerator failures and signal-terminated victims of
+                    # _handle_accel_failure (rc<0) are not the step's fault:
+                    # retry with cooldown forever (reference semantics,
+                    # workflow_orchestrator.py:712-755) — no strike, else two
+                    # transient TPU blips would permanently ERROR the step.
+                    set_step_status(workflow, info.step, StepStatus.FAILED)
+                    self.log(f"[red]FAILED[/red]: {info.step} for {name} "
+                             f"(exit {rc}) - accelerator/termination, will "
+                             "retry after cooldown")
                 else:
                     self.strikes[info.key] = self.strikes.get(info.key, 0) + 1
                     if self.strikes[info.key] >= 2:  # strike two
@@ -585,7 +600,7 @@ def _terminate_tree(pid: int) -> None:
                 p.kill()
             except psutil.NoSuchProcess:
                 pass
-    except Exception:
+    except psutil.Error:
         pass
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 from functools import lru_cache
 from pathlib import Path
 
-from vsc_tpu.config import get_path, load_config
+from vsc_tpu.config import ConfigError, get_path, load_config
 from vsc_tpu.utils.frame_utils import extract_frame_number
 
 __all__ = [
@@ -93,7 +93,7 @@ def _dir(workflow_path: Path, key: str) -> str | None:
     try:
         config = load_config(workflow_path)
         return str(get_path(workflow_path, config, key))
-    except Exception:
+    except (ConfigError, OSError, KeyError, ValueError):
         return None
 
 
@@ -134,7 +134,7 @@ def get_total_frame_count(workflow_path: Path) -> int:
         config = load_config(workflow_path)
         video = get_path(workflow_path, config, "input_video")
         return estimate_frame_count(video) or 0
-    except Exception:
+    except (ConfigError, OSError, KeyError, ValueError):
         return 0
 
 
@@ -194,5 +194,5 @@ def get_video_progress(workflow_path: Path) -> str:
         if total > 0:
             return f"{min(last_chunk, total)}/{total}"
         return str(last_chunk)
-    except Exception:
+    except (ConfigError, OSError, KeyError, ValueError):
         return "-"
