@@ -69,8 +69,8 @@ def build_workload():
             img_size=384, tile_size=96,
             encoder=ViTConfig(img_size=96, patch_size=12, embed_dim=256,
                               depth=6, num_heads=8, dtype=jnp.bfloat16),
-            hook_block_ids=(1, 3), decoder_dim=128,
-            dims_encoder=(128, 128, 256, 256, 256),
+            hook_block_ids=(1, 3), decoder_features=128,
+            dims_encoder=(128, 256, 256, 256),
             dtype=jnp.bfloat16)
     else:
         cfg = None

@@ -1,41 +1,49 @@
 """
-DepthPro-class monocular depth estimator (Flax)
-===============================================
+DepthPro monocular depth estimator (Flax) — architecture-exact
+==============================================================
 
 TPU-native replacement for the reference's opaque ONNX DepthPro model
-(/root/reference/depth_map_generator.py:39-40: 1536x1536 fp16 bs=1 ONNX via
-onnxruntime). We own the architecture, so inference is batched, bf16, and
-pjit-shardable (TP over ViT heads/MLP, DP over frames).
+(/root/reference/depth_map_generator.py:39-40, 303-324: 1536x1536 fp16 bs=1
+ONNX via onnxruntime). We own the architecture, so inference is batched,
+bf16, and pjit-shardable (TP over ViT heads/MLP, DP over frames).
 
-Architecture (multi-scale ViT, after Apple's "Depth Pro: Sharp Monocular
-Metric Depth in Less Than a Second"):
+The module graph mirrors Apple ml-depth-pro ("Depth Pro: Sharp Monocular
+Metric Depth in Less Than a Second") tensor-for-tensor so the official
+``depth_pro.pt`` checkpoint maps 1:1 (see models/convert.py). Structure:
 
   input [B, 1536, 1536, 3] in [-1, 1]
-    ├── scale pyramid: 1536, 768, 384 (bilinear)
-    ├── overlapping 384^2 tiles:  5x5 @ stride 288 | 3x3 @ stride 192 | 1
-    │     all 35 tiles batched through ONE shared "patch" ViT-L/16 pass
-    │     (intermediate blocks hooked for the finest scale)
+    ├── scale pyramid 1536 / 768 / 384 (bilinear, torch align_corners=False
+    │     semantics: an exact 2-tap average — see _downscale2tap)
+    ├── overlapping 384^2 tiles: 5x5 @ stride 288 | 3x3 @ stride 192 | 1x1,
+    │     all 35 tiles batched through ONE shared "patch" ViT-L/16 pass;
+    │     blocks 5 and 11 are hooked for the two high-res latent maps
     ├── whole-image "image" ViT on the 384 downsample (global context)
-    ├── tile features mosaicked back (overlap-trimmed) into feature maps:
-    │     fine 96^2, mid 48^2, coarse 24^2 (+ 2 hook maps at 96^2)
-    ├── DPT-style fusion decoder: project -> top-down residual fusion with
-    │     x2 upsampling: 24 -> 48 -> 96 -> 192 -> 384
-    ├── depth head: 384 -> 768 -> 1536, 1 channel, relu
+    ├── tile features mosaicked back with overlap trim (96^2 fine, 48^2 mid,
+    │     24^2 coarse, 96^2 hooks)
+    ├── encoder upsample stack (learned ConvTranspose 2x2/s2 chains):
+    │     hook5 -> 768^2 @256 | hook11 -> 384^2 @256 | fine -> 192^2 @512 |
+    │     mid -> 96^2 @1024 | coarse -> 48^2 @1024 | image -> 48^2 @1024,
+    │     coarse+image fused by a 1x1 conv
+    ├── multires conv decoder: 3x3 projections to 256 + five feature-fusion
+    │     blocks (pre-activation residual units, deconv upsampling),
+    │     coarse -> fine, output 768^2 @256
+    ├── depth head: conv -> deconv(-> 1536^2) -> conv -> relu -> 1x1 -> relu
     │     output: canonical inverse depth ("nearness": larger = closer —
     │     exactly what the stereo warp expects and what the saved depth maps
     │     hold after min-max normalization, depth_map_generator.py:217-230)
-    └── FOV head on coarse+global features -> field of view (deg), used to
-          convert canonical inverse depth to metric depth.
+    └── FOV head: a third ViT on the 384 downsample + the projected global
+          feature -> horizontal field of view (deg) for metric depth.
 
-The tiling is pure reshape/slice (static shapes), the mosaic is
-concatenation — everything jit- and shard-friendly. The 35-tile batch rides
-the batch axis, so a B-frame call runs the ViT on 35*B tiles in one MXU-dense
-pass instead of the reference's 35 sequential windows inside ONNX.
+The tiling is pure slice/concat (static shapes), every ConvTranspose is a
+2x2/stride-2 non-overlapping deconv (MXU-dense), and the 35-tile batch rides
+the batch axis — a B-frame call runs the ViT on 35*B tiles in one pass
+instead of the reference's 35 sequential windows inside ONNX.
 """
 
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Any
 
 import flax.linen as nn
@@ -52,18 +60,27 @@ class DepthProConfig:
     img_size: int = 1536
     tile_size: int = 384
     encoder: ViTConfig = ViTConfig()
+    # patch-encoder blocks tapped for the high-res latents: hook_block_ids[0]
+    # feeds the 3-deconv chain (768^2), hook_block_ids[1] the 2-deconv chain
+    # (384^2) — Apple's (5, 11) for the 24-block ViT-L.
     hook_block_ids: tuple[int, int] = (5, 11)
-    decoder_dim: int = 256
-    # projection dims for [hook0, hook1, fine, mid, coarse+global]
-    dims_encoder: tuple[int, ...] = (256, 256, 512, 1024, 1024)
+    # fusion/decoder width (Apple decoder_features / HF fusion_hidden_size)
+    decoder_features: int = 256
+    # encoder feature dims [latent, fine, mid, coarse] (Apple
+    # encoder_feature_dims = (256, 512, 1024, 1024))
+    dims_encoder: tuple[int, int, int, int] = (256, 512, 1024, 1024)
     use_fov_head: bool = True
+    # Apple's full model runs a third ViT for the FOV branch; without it the
+    # FOV head works from the decoder's global feature alone.
+    use_fov_encoder: bool = True
     dtype: Any = jnp.float32
 
     def __post_init__(self):
         # Tiling invariants: the 5x5 fine tiles at stride 0.75*tile must
         # cover the input exactly (img = 4*tile), and the overlap-trim
         # arithmetic needs the per-tile token grid divisible by 8
-        # (fine trim = grid/8, mid trim = grid/4).
+        # (fine trim = grid/8, mid trim = grid/4); grid/4 also sizes the
+        # FOV head's final valid conv.
         if self.img_size != 4 * self.tile_size:
             raise ValueError(
                 f"img_size ({self.img_size}) must be 4 * tile_size "
@@ -74,18 +91,22 @@ class DepthProConfig:
                 f"tile_size/patch_size token grid ({grid}) must be a "
                 "multiple of 8")
 
+    @property
+    def grid(self) -> int:
+        return self.tile_size // self.encoder.patch_size
+
     @staticmethod
     def tiny() -> "DepthProConfig":
-        """Small config with identical topology for tests: 96^2 input,
-        24^2 tiles (8x8 tokens), shallow ViT."""
+        """Small config with identical topology for tests: 64^2 input,
+        16^2 tiles (8x8 tokens), shallow ViT."""
         return DepthProConfig(
-            img_size=96,
-            tile_size=24,
-            encoder=ViTConfig(img_size=24, patch_size=3, embed_dim=32,
+            img_size=64,
+            tile_size=16,
+            encoder=ViTConfig(img_size=16, patch_size=2, embed_dim=32,
                               depth=4, num_heads=2),
             hook_block_ids=(0, 2),
-            decoder_dim=16,
-            dims_encoder=(16, 16, 24, 32, 32),
+            decoder_features=16,
+            dims_encoder=(16, 24, 32, 32),
         )
 
 
@@ -94,6 +115,17 @@ def preprocess_frames(rgb_u8):
     (x / 127.5 - 1, the DepthPro normalization the reference applies on the
     host, depth_map_generator.py:94). Runs on device."""
     return rgb_u8.astype(jnp.float32) / 127.5 - 1.0
+
+
+def _downscale2tap(x, factor: int):
+    """torch F.interpolate(scale_factor=1/factor, mode='bilinear',
+    align_corners=False) for even integer factors: each output center lands
+    exactly between two input pixels (src = i*f + (f-1)/2), so the resample
+    is a 2-tap average with stride f — strided slices, no gathers."""
+    f = factor
+    x = (x[:, f // 2 - 1::f] + x[:, f // 2::f]) * 0.5
+    x = (x[:, :, f // 2 - 1::f] + x[:, :, f // 2::f]) * 0.5
+    return x
 
 
 def _tile(images, tile: int, stride: int):
@@ -112,8 +144,8 @@ def _tile(images, tile: int, stride: int):
 
 def _mosaic(feats, n: int, trim: int):
     """Inverse of _tile in feature space: [B, n, n, t, t, C] -> [B, G, G, C],
-    trimming `trim` overlap rows/cols from interior tile edges."""
-    B = feats.shape[0]
+    trimming `trim` overlap rows/cols from interior tile edges (the merge
+    padding of the original model)."""
     t = feats.shape[3]
     rows = []
     for i in range(n):
@@ -132,65 +164,126 @@ def _tokens_to_map(tokens, grid: int):
     return tokens[:, 1:, :].reshape(tokens.shape[0], grid, grid, -1)
 
 
-class ResidualConvUnit(nn.Module):
+# --------------------------------------------------------------------------
+# building blocks (torch-equivalent conv semantics)
+
+
+class ConvT2x2(nn.Module):
+    """ConvTranspose2d(kernel=2, stride=2, padding=0): non-overlapping
+    learned 2x upsample. The kernel parameter is stored [2, 2, in, out]
+    (torch's [in, out, 2, 2] transposed at conversion); the op is a regular
+    conv over the 2x-dilated input with the kernel spatially flipped, which
+    XLA lowers to the (heavily optimized) conv backward-data path."""
+    features: int
+    use_bias: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        I = x.shape[-1]
+        k = self.param("kernel", nn.initializers.lecun_normal(),
+                       (2, 2, I, self.features), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), k[::-1, ::-1].astype(self.dtype),
+            window_strides=(1, 1), padding=((1, 1), (1, 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        if self.use_bias:
+            b = self.param("bias", nn.initializers.zeros_init(),
+                           (self.features,), jnp.float32)
+            y = y + b.astype(self.dtype)
+        return y
+
+
+def _conv(features, kernel, name, *, stride=1, use_bias=True,
+          dtype=jnp.float32):
+    """Conv2d with torch padding semantics (pad k//2 on both sides)."""
+    pad = kernel // 2
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding=((pad, pad), (pad, pad)), use_bias=use_bias,
+                   dtype=dtype, param_dtype=jnp.float32, name=name)
+
+
+class ProjUpsample(nn.Module):
+    """Apple's _create_project_upsample_block: 1x1 conv projection followed
+    by n_upsample ConvTranspose 2x2/s2 layers, all bias-free."""
+    dim_out: int
+    n_upsample: int
+    dim_int: int | None = None
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim_int = self.dim_int if self.dim_int is not None else self.dim_out
+        x = _conv(dim_int, 1, "proj", use_bias=False, dtype=self.dtype)(x)
+        for i in range(self.n_upsample):
+            x = ConvT2x2(self.dim_out, use_bias=False, dtype=self.dtype,
+                         name=f"deconv{i}")(x)
+        return x
+
+
+class PreActResidual(nn.Module):
+    """DPT pre-activation residual unit: x + conv(relu(conv(relu(x))))."""
     dim: int
     dtype: Any
 
     @nn.compact
     def __call__(self, x):
         h = nn.relu(x)
-        h = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv1")(h)
+        h = _conv(self.dim, 3, "conv1", dtype=self.dtype)(h)
         h = nn.relu(h)
-        h = nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                    param_dtype=jnp.float32, name="conv2")(h)
+        h = _conv(self.dim, 3, "conv2", dtype=self.dtype)(h)
         return x + h
 
 
-class FusionBlock(nn.Module):
-    """DPT feature-fusion: optional skip merge, residual refinement,
-    x2 nearest upsample + conv."""
+class FeatureFusion(nn.Module):
+    """Apple FeatureFusionBlock2d: optional skip merge through a residual
+    unit, refinement residual unit, 2x deconv (except the finest level),
+    1x1 output projection."""
     dim: int
+    deconv: bool
     dtype: Any
 
     @nn.compact
     def __call__(self, x, skip=None):
         if skip is not None:
-            x = x + ResidualConvUnit(self.dim, self.dtype, name="rcu_skip")(skip)
-        x = ResidualConvUnit(self.dim, self.dtype, name="rcu")(x)
-        B, H, W, C = x.shape
-        x = jax.image.resize(x, (B, 2 * H, 2 * W, C), method="nearest")
-        return nn.Conv(self.dim, (3, 3), padding="SAME", dtype=self.dtype,
-                       param_dtype=jnp.float32, name="out_conv")(x)
+            x = x + PreActResidual(self.dim, self.dtype, name="resnet1")(skip)
+        x = PreActResidual(self.dim, self.dtype, name="resnet2")(x)
+        if self.deconv:
+            x = ConvT2x2(self.dim, use_bias=False, dtype=self.dtype,
+                         name="deconv")(x)
+        return _conv(self.dim, 1, "out_conv", dtype=self.dtype)(x)
 
 
-class DepthPro(nn.Module):
-    cfg: DepthProConfig = DepthProConfig()
+# --------------------------------------------------------------------------
+# encoder / decoder / fov
+
+
+class DepthProEncoder(nn.Module):
+    """Multi-scale tiling ViT encoder + learned upsample stack. Returns the
+    five feature maps finest-first:
+      [latent0 @S/2, latent1 @S/4, fine @S/8, mid @S/16, global @S/32]
+    with channels [decoder_features, dims[0], dims[1], dims[2], dims[3]]."""
+    cfg: DepthProConfig
 
     @nn.compact
     def __call__(self, images):
-        """images: [B, S, S, 3] in [-1, 1] (S = cfg.img_size).
-
-        Returns dict with:
-          canonical_inverse_depth: [B, S, S]  (relative nearness)
-          fov_deg: [B] predicted horizontal field of view
-          inverse_depth: metric inverse depth (canonical * w / f_px)
-        """
         cfg = self.cfg
         B, S, _, _ = images.shape
         tile = cfg.tile_size
-        grid = tile // cfg.encoder.patch_size  # tokens per tile side
+        grid = cfg.grid
+        dt = cfg.dtype
 
-        # ---- scale pyramid (bilinear, matches the paper's downsampling)
-        x_full = images.astype(cfg.dtype)
-        x_half = jax.image.resize(x_full, (B, S // 2, S // 2, 3), "bilinear")
-        x_quar = jax.image.resize(x_full, (B, tile, tile, 3), "bilinear")
+        # ---- scale pyramid (each scale resampled from the original)
+        x_full = images.astype(dt)
+        x_half = _downscale2tap(x_full, 2)
+        x_quar = _downscale2tap(x_full, 4)          # == tile resolution
 
         # ---- overlapping tiles, all batched through one ViT pass
-        n_f = (S - tile) // (3 * tile // 4) + 1          # stride = 0.75*tile
-        n_m = (S // 2 - tile) // (tile // 2) + 1         # stride = 0.5*tile
-        tiles_f = _tile(x_full, tile, 3 * tile // 4)     # [B,nf,nf,t,t,3]
-        tiles_m = _tile(x_half, tile, tile // 2)         # [B,nm,nm,t,t,3]
+        n_f = (S - tile) // (3 * tile // 4) + 1     # stride 0.75*tile -> 5
+        n_m = (S // 2 - tile) // (tile // 2) + 1    # stride 0.5*tile  -> 3
+        tiles_f = _tile(x_full, tile, 3 * tile // 4)
+        tiles_m = _tile(x_half, tile, tile // 2)
 
         flat_f = tiles_f.reshape(B * n_f * n_f, tile, tile, 3)
         flat_m = tiles_m.reshape(B * n_m * n_m, tile, tile, 3)
@@ -202,91 +295,147 @@ class DepthPro(nn.Module):
 
         nf2, nm2 = B * n_f * n_f, B * n_m * n_m
         D = cfg.encoder.embed_dim
+        trim_f = (grid - 3 * grid // 4) // 2        # merge padding (fine)
+        trim_m = (grid - grid // 2) // 2            # merge padding (mid)
 
-        def split_fine(tok):
+        def merge_fine(tok):
             m = _tokens_to_map(tok[:nf2], grid)
             m = m.reshape(B, n_f, n_f, grid, grid, D)
-            # overlap in feature space: tile grid minus stride grid
-            trim = (grid - (3 * grid // 4)) // 2
-            return _mosaic(m, n_f, trim)
+            return _mosaic(m, n_f, trim_f)
 
-        feat_fine = split_fine(tokens)                       # [B, Gf, Gf, D]
-        hook0 = split_fine(hooks[cfg.hook_block_ids[0]])
-        hook1 = split_fine(hooks[cfg.hook_block_ids[1]])
+        feat_fine = merge_fine(tokens)                      # [B, 4G, 4G, D]
+        hook0 = merge_fine(hooks[cfg.hook_block_ids[0]])
+        hook1 = merge_fine(hooks[cfg.hook_block_ids[1]])
 
         m_mid = _tokens_to_map(tokens[nf2:nf2 + nm2], grid)
         m_mid = m_mid.reshape(B, n_m, n_m, grid, grid, D)
-        feat_mid = _mosaic(m_mid, n_m, (grid - grid // 2) // 2)
+        feat_mid = _mosaic(m_mid, n_m, trim_m)              # [B, 2G, 2G, D]
 
-        feat_coarse = _tokens_to_map(tokens[nf2 + nm2:], grid)  # [B, g, g, D]
+        feat_coarse = _tokens_to_map(tokens[nf2 + nm2:], grid)
 
         # ---- global context from the separate image encoder
         img_tokens, _ = ViT(cfg.encoder, name="image_encoder")(x_quar)
         feat_global = _tokens_to_map(img_tokens, grid)
 
-        # ---- project to pyramid dims and lift the hooks to higher res
-        dd = cfg.decoder_dim
+        # ---- learned upsample stack (Apple encoder.upsample_* naming)
+        dims = cfg.dims_encoder
+        latent0 = ProjUpsample(cfg.decoder_features, 3, dim_int=dims[0],
+                               dtype=dt, name="upsample_latent0")(hook0)
+        latent1 = ProjUpsample(dims[0], 2, dtype=dt,
+                               name="upsample_latent1")(hook1)
+        fine = ProjUpsample(dims[1], 1, dtype=dt, name="upsample0")(feat_fine)
+        mid = ProjUpsample(dims[2], 1, dtype=dt, name="upsample1")(feat_mid)
+        coarse = ProjUpsample(dims[3], 1, dtype=dt,
+                              name="upsample2")(feat_coarse)
+        glob = ConvT2x2(dims[3], use_bias=True, dtype=dt,
+                        name="upsample_lowres")(feat_global)
+        glob = _conv(dims[3], 1, "fuse_lowres", dtype=dt)(
+            jnp.concatenate([coarse, glob], axis=-1))
+
+        return [latent0, latent1, fine, mid, glob]
+
+
+class MultiresConvDecoder(nn.Module):
+    """Apple MultiresConvDecoder: per-level projections to decoder width
+    (identity at the finest level whose channels already match) + a
+    coarse-to-fine feature-fusion cascade. Returns (features @S/2,
+    projected_global @S/32) — the latter feeds the FOV head."""
+    cfg: DepthProConfig
+
+    @nn.compact
+    def __call__(self, encodings):
+        cfg = self.cfg
+        dd = cfg.decoder_features
         dt = cfg.dtype
+        # conv_0 is the identity (latent0 channels == decoder width)
+        projected = [encodings[0]]
+        for i, enc in enumerate(encodings[1:], start=1):
+            projected.append(
+                _conv(dd, 3, f"conv_{i}", use_bias=False, dtype=dt)(enc))
 
-        def proj(x, dim, name):
-            return nn.Conv(dim, (1, 1), dtype=dt, param_dtype=jnp.float32,
-                           name=name)(x)
+        x = FeatureFusion(dd, deconv=True, dtype=dt,
+                          name="fusion_4")(projected[4])
+        for i in (3, 2, 1):
+            x = FeatureFusion(dd, deconv=True, dtype=dt,
+                              name=f"fusion_{i}")(x, projected[i])
+        x = FeatureFusion(dd, deconv=False, dtype=dt,
+                          name="fusion_0")(x, projected[0])
+        return x, projected[4]
 
-        def up(x, factor, name):
-            B_, H_, W_, C_ = x.shape
-            x = jax.image.resize(x, (B_, H_ * factor, W_ * factor, C_),
-                                 "bilinear")
-            return nn.Conv(x.shape[-1], (3, 3), padding="SAME", dtype=dt,
-                           param_dtype=jnp.float32, name=name)(x)
 
-        # level resolutions (feature-grid sizes), finest first:
-        #   L0: 4*Gq, L1: 2*Gq... with Gq = S/patch/4 etc. Concretely for
-        #   1536/16: L0=384? -> we use hook maps upsampled x4 and x2 from 96.
-        p0 = up(proj(hook0, cfg.dims_encoder[0], "proj_hook0"), 4, "up_hook0")
-        p1 = up(proj(hook1, cfg.dims_encoder[1], "proj_hook1"), 2, "up_hook1")
-        p2 = proj(feat_fine, cfg.dims_encoder[2], "proj_fine")
-        p3 = proj(feat_mid, cfg.dims_encoder[3], "proj_mid")
-        p4 = proj(feat_coarse + feat_global, cfg.dims_encoder[4],
-                  "proj_coarse")
+class FOVNetwork(nn.Module):
+    """Apple FOVNetwork: a third ViT on the 384 downsample (optional) added
+    to the strided-down global decoder feature, then a conv funnel to a
+    single horizontal-FOV scalar (degrees, no activation)."""
+    cfg: DepthProConfig
 
-        # ---- DPT fusion decoder, coarse -> fine. The deepest level gets a
-        # skip-less fusion (upsampling it to the next level's resolution),
-        # then each finer level merges as a skip and upsamples again.
-        levels = [p4, p3, p2, p1, p0]
-        x = FusionBlock(dd, dt, name="fusion_deep")(proj(levels[0], dd, "dec_in"))
-        for idx, skip in enumerate(levels[1:]):
-            skip_p = proj(skip, dd, f"dec_skip{idx}")
-            x = FusionBlock(dd, dt, name=f"fusion{idx}")(x, skip_p)
-        # x is now at 2 * (finest level) resolution
+    @nn.compact
+    def __call__(self, images, global_feature):
+        cfg = self.cfg
+        dd = cfg.decoder_features
+        dt = cfg.dtype
+        grid = cfg.grid
 
-        # ---- depth head: refine + resize to the full input resolution
-        h = nn.Conv(dd // 2, (3, 3), padding="SAME", dtype=dt,
-                    param_dtype=jnp.float32, name="head_conv1")(x)
-        if h.shape[1] != S:
-            h = jax.image.resize(h, (h.shape[0], S, S, h.shape[-1]),
-                                 "bilinear")
-        h = nn.Conv(32, (3, 3), padding="SAME", dtype=dt,
-                    param_dtype=jnp.float32, name="head_conv2")(h)
+        # downsample the global feature 2*grid -> grid
+        x = _conv(dd // 2, 3, "downsample_conv", stride=2,
+                  dtype=dt)(global_feature)
+        x = nn.relu(x)
+
+        if cfg.use_fov_encoder:
+            x_quar = _downscale2tap(images.astype(dt), 4)
+            tokens, _ = ViT(cfg.encoder, name="encoder_vit")(x_quar)
+            tokens = nn.Dense(dd // 2, dtype=dt, param_dtype=jnp.float32,
+                              name="encoder_linear")(tokens)
+            x = _tokens_to_map(tokens, grid) + x
+
+        h = _conv(math.ceil(dd / 4), 3, "head_conv0", stride=2, dtype=dt)(x)
         h = nn.relu(h)
-        h = nn.Conv(1, (1, 1), dtype=dt, param_dtype=jnp.float32,
-                    name="head_out")(h)
-        canonical = nn.relu(h[..., 0]).astype(jnp.float32)   # [B, S, S]
+        h = _conv(math.ceil(dd / 8), 3, "head_conv1", stride=2, dtype=dt)(h)
+        h = nn.relu(h)
+        # final valid conv collapses the remaining grid/4 map to a scalar
+        k = grid // 4
+        h = nn.Conv(1, (k, k), padding="VALID", dtype=dt,
+                    param_dtype=jnp.float32, name="head_out")(h)
+        return h.reshape(h.shape[0]).astype(jnp.float32)  # [B] degrees
+
+
+class DepthPro(nn.Module):
+    cfg: DepthProConfig = DepthProConfig()
+
+    @nn.compact
+    def __call__(self, images):
+        """images: [B, S, S, 3] in [-1, 1] (S = cfg.img_size).
+
+        Returns dict with:
+          canonical_inverse_depth: [B, S, S]  (relative nearness)
+          fov_deg: [B] predicted horizontal field of view (if enabled)
+          inverse_depth: metric inverse depth (canonical * W / f_px)
+        """
+        cfg = self.cfg
+        dd = cfg.decoder_features
+        dt = cfg.dtype
+        S = images.shape[1]
+
+        encodings = DepthProEncoder(cfg, name="encoder")(images)
+        feats, glob = MultiresConvDecoder(cfg, name="decoder")(encodings)
+
+        # ---- depth head (Apple head.0/.1/.2/.4)
+        h = _conv(dd // 2, 3, "head_conv1", dtype=dt)(feats)
+        h = ConvT2x2(dd // 2, use_bias=True, dtype=dt, name="head_deconv")(h)
+        h = _conv(32, 3, "head_conv2", dtype=dt)(h)
+        h = nn.relu(h)
+        h = _conv(1, 1, "head_out", dtype=dt)(h)
+        h = nn.relu(h)
+        canonical = h[..., 0].astype(jnp.float32)           # [B, S', S']
 
         out = {"canonical_inverse_depth": canonical}
 
-        # ---- FOV head (coarse + global features -> degrees)
         if cfg.use_fov_head:
-            f = nn.Conv(dd, (3, 3), padding="SAME", dtype=dt,
-                        param_dtype=jnp.float32, name="fov_conv")(p4)
-            f = nn.relu(f)
-            f = jnp.mean(f, axis=(1, 2))
-            f = nn.Dense(1, dtype=dt, param_dtype=jnp.float32,
-                         name="fov_out")(f)[..., 0]
-            fov_deg = 30.0 + 60.0 * nn.sigmoid(f)            # [B], 30..90
-            out["fov_deg"] = fov_deg.astype(jnp.float32)
-            # metric inverse depth: canonical scaled by W / f_px,
-            # f_px = 0.5 * W / tan(fov/2)
-            tan_half = jnp.tan(jnp.deg2rad(out["fov_deg"]) / 2.0)
+            fov_deg = FOVNetwork(cfg, name="fov")(images, glob)
+            out["fov_deg"] = fov_deg
+            # metric inverse depth: canonical scaled by W / f_px with
+            # f_px = 0.5 * W / tan(fov/2)  =>  W / f_px = 2 tan(fov/2)
+            tan_half = jnp.tan(jnp.deg2rad(fov_deg) / 2.0)
             out["inverse_depth"] = canonical * (2.0 * tan_half)[:, None, None]
         else:
             out["inverse_depth"] = canonical

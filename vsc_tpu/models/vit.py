@@ -90,8 +90,13 @@ class Attention(nn.Module):
         scale = 1.0 / math.sqrt(Dh)
         use_flash = cfg.flash_attention
         if use_flash is None:
+            # auto: only where a pallas_call is SPMD-safe — single-device
+            # TPU programs. Multi-device runs (TP/SP shard the attention
+            # inputs under pjit, whose partitioner cannot split a
+            # pallas_call) use the einsum path unless explicitly forced.
             use_flash = (jax.default_backend() == "tpu"
-                         and not cfg.seq_shard)
+                         and not cfg.seq_shard
+                         and jax.device_count() == 1)
         if use_flash:
             from vsc_tpu.ops.attention_pallas import short_seq_attention
             out = short_seq_attention(q, k, v, scale)

@@ -249,6 +249,46 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     return jnp.floor(jnp.clip(sbs, 0.0, 255.0)).astype(jnp.uint8)
 
 
+@functools.partial(jax.jit, static_argnames=("params", "depth_max", "mesh"))
+def _generate_sbs_sharded(rgb, depth, params: StereoParams,
+                          depth_max: float, mesh):
+    """SPMD form: the whole SBS program is batch-elementwise, so shard_map
+    over the data axis runs it independently per device with ZERO
+    collectives — and, unlike plain jit+SPMD, the Pallas kernels inside
+    (warp/postprocess) correctly see only their local shard."""
+    from jax.sharding import PartitionSpec as P
+
+    body = functools.partial(_generate_sbs_impl.__wrapped__,
+                             params=params, depth_max=depth_max)
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P("data"), P("data")),
+        out_specs=P("data"),
+        # pallas_call out_shapes carry no varying-mesh-axes metadata
+        check_vma=False,
+    )(rgb, depth)
+
+
+def _data_mesh_of(*arrays):
+    """The mesh to shard_map over, when every input is sharded over a
+    'data' mesh axis that divides the batch."""
+    from jax.sharding import NamedSharding
+    mesh = None
+    for a in arrays:
+        sh = getattr(a, "sharding", None)
+        if not isinstance(sh, NamedSharding):
+            return None
+        m = sh.mesh
+        if "data" not in m.axis_names or m.shape["data"] <= 1:
+            return None
+        if mesh is not None and m != mesh:
+            return None
+        mesh = m
+        if a.shape[0] % m.shape["data"] != 0:
+            return None
+    return mesh
+
+
 def generate_sbs(rgb, depth, params: StereoParams | None = None):
     """Batched SBS generation.
 
@@ -260,6 +300,9 @@ def generate_sbs(rgb, depth, params: StereoParams | None = None):
 
     Returns:
       [B, H, 2W, 3] uint8 side-by-side frames (left | right).
+
+    Inputs sharded over a "data" mesh axis (vsc_tpu.parallel.auto.shard_batch)
+    dispatch the SPMD shard_map form — each device converts its own frames.
     """
     params = params or StereoParams()
     dt = np.dtype(getattr(depth, "dtype", np.float32))
@@ -269,4 +312,7 @@ def generate_sbs(rgb, depth, params: StereoParams | None = None):
         depth_max = 65535.0
     else:
         depth_max = float("inf")  # float depth: no integer quantization
+    mesh = _data_mesh_of(rgb, depth)
+    if mesh is not None:
+        return _generate_sbs_sharded(rgb, depth, params, depth_max, mesh)
     return _generate_sbs_impl(rgb, depth, params, depth_max)

@@ -48,7 +48,7 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
     from vsc_tpu.ops.resize import resize
 
     if model_name == "depthpro":
-        from vsc_tpu.models import DepthPro, DepthProConfig
+        from vsc_tpu.models import DepthPro, DepthProConfig, ViTConfig
         from vsc_tpu.models.convert import load_params
         if input_size % 512 != 0:
             raise ValueError(
@@ -56,7 +56,8 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
                 "size/4, ViT/16 token grid must be a multiple of 8); the "
                 f"production size is 1536. Got {input_size}.")
         cfg = DepthProConfig(img_size=input_size,
-                             tile_size=input_size // 4)
+                             tile_size=input_size // 4,
+                             encoder=ViTConfig(img_size=input_size // 4))
         model = DepthPro(cfg)
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)
