@@ -24,10 +24,12 @@ of the reference on a DirectML-class GPU: DepthPro 1536^2 fp16 bs=1 at
 end-to-end. BASELINE.json's target is 5x that floor.
 
 Env knobs:
-  BENCH_DEPTH=flagship|full|stub   model size (default flagship: 384-input
-                                   DepthPro topology; full: 1536-input
-                                   ViT-L — slow to compile)
-  BENCH_BATCH=N                    frames per dispatch (default 4)
+  BENCH_DEPTH=full|flagship|stub   model size (default FULL: the production
+                                   1536-input ViT-L, architecture-exact;
+                                   flagship: 384-input same-topology smoke
+                                   config — compiles far faster)
+  BENCH_BATCH=N                    frames per dispatch (default 2 full,
+                                   4 otherwise)
   BENCH_ITERS=N                    timed iterations (default 8)
 """
 
@@ -55,15 +57,20 @@ def build_workload():
     from vsc_tpu.ops.stereo import generate_sbs
 
     H, W = 1080, 1920
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
-    model_kind = os.environ.get("BENCH_DEPTH", "flagship")
+    model_kind = os.environ.get("BENCH_DEPTH", "full")
+    batch = int(os.environ.get("BENCH_BATCH",
+                               "2" if model_kind == "full" else "4"))
 
     # bf16 compute for the ViT: the MXU's native inference precision
     # (params stay f32; depth output is min-max normalized so relative
     # precision is what matters).
     if model_kind == "full":
+        # production model exactly as the pipeline runs it: bf16, FOV head
+        # off (the output is min-max normalized, so the metric-scale branch
+        # cannot change the depth map — depth_map_generator.py)
         cfg = DepthProConfig(
-            encoder=ViTConfig(dtype=jnp.bfloat16), dtype=jnp.bfloat16)
+            encoder=ViTConfig(dtype=jnp.bfloat16), dtype=jnp.bfloat16,
+            use_fov_head=False)
     elif model_kind == "flagship":
         cfg = DepthProConfig(
             img_size=384, tile_size=96,
@@ -136,11 +143,17 @@ def main() -> None:
     t0 = time.perf_counter()
     for _ in range(iters):
         depth = run_depth(frames)
+    sync(depth)
+    t_depth = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(iters):
         sbs = run_sbs(frames, depth)
     sync(sbs)
-    elapsed = time.perf_counter() - t0
+    t_sbs = time.perf_counter() - t0
 
-    fps = (iters * batch) / elapsed
+    n = iters * batch
+    fps = n / (t_depth + t_sbs)
     result = {
         "metric": "1080p frames/sec/chip end-to-end (depth+SBS)",
         "value": round(fps, 3),
@@ -150,7 +163,9 @@ def main() -> None:
             "device": str(jax.devices()[0]),
             "batch": batch,
             "iters": iters,
-            "depth_model": os.environ.get("BENCH_DEPTH", "flagship"),
+            "depth_model": os.environ.get("BENCH_DEPTH", "full"),
+            "depth_ms_per_frame": round(1000.0 * t_depth / n, 1),
+            "sbs_ms_per_frame": round(1000.0 * t_sbs / n, 1),
             "stereo_params": "reference defaults",
         },
     }

@@ -45,3 +45,31 @@ def test_grid_requires_depth(workflow, test_video):
     from vsc_tpu.pipeline.sbs_tester import run_grid
     config = load_config(workflow)
     assert not run_grid(workflow, config, "max_disparity=3", 2, None)
+
+
+def test_monitor_detection_helpers():
+    """3D-display helpers (reference sbs_tester.py:153-200, 697): xrandr
+    geometry parsing, the height*2 fullscreen stretch, headless fallback."""
+    import numpy as np
+    from vsc_tpu.pipeline.sbs_tester import (
+        detect_monitors, fullscreen_image, parse_xrandr_monitors)
+
+    text = """Monitors: 2
+ 0: +*DP-1 2560/597x1440/336+0+0  DP-1
+ 1: +HDMI-1 1920/509x1080/286+2560+180  HDMI-1
+"""
+    mons = parse_xrandr_monitors(text)
+    assert mons == [
+        {"x": 0, "y": 0, "width": 2560, "height": 1440},
+        {"x": 2560, "y": 180, "width": 1920, "height": 1080},
+    ]
+
+    # fullscreen stretch: width -> monitor width, height -> 2x monitor
+    # height (3D monitors show each eye at half height)
+    sbs = np.zeros((36, 96, 3), np.uint8)
+    out = fullscreen_image(sbs, mons[1])
+    assert out.shape == (2160, 1920, 3)
+
+    # headless environment still yields a usable default
+    mons = detect_monitors()
+    assert len(mons) >= 1 and mons[0]["width"] > 0

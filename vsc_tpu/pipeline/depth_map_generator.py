@@ -55,9 +55,26 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
                 "DepthPro input size must be a multiple of 512 (tile = "
                 "size/4, ViT/16 token grid must be a multiple of 8); the "
                 f"production size is 1536. Got {input_size}.")
+        # use_fov_head=False: the pipeline min-max normalizes the depth map
+        # (depth_map_generator.py:217-230), so the FOV branch (a third
+        # ViT-L) cannot affect the output — canonical inverse depth is
+        # computed before the metric scaling. Saves ~1/36 of the ViT work
+        # and 304M params of HBM. Checkpoints with fov weights still load
+        # (unused tensors are reported, not errors).
+        # bf16 compute on TPU (the MXU's native inference precision; params
+        # stay f32, accumulation is f32). The saved depth map is min-max
+        # normalized so relative precision is what matters. Override with
+        # VSC_TPU_DEPTH_DTYPE=float32.
+        want = os.environ.get(
+            "VSC_TPU_DEPTH_DTYPE",
+            "bfloat16" if jax.default_backend() == "tpu" else "float32")
+        dtype = jnp.bfloat16 if want == "bfloat16" else jnp.float32
         cfg = DepthProConfig(img_size=input_size,
                              tile_size=input_size // 4,
-                             encoder=ViTConfig(img_size=input_size // 4))
+                             encoder=ViTConfig(img_size=input_size // 4,
+                                               dtype=dtype),
+                             use_fov_head=False,
+                             dtype=dtype)
         model = DepthPro(cfg)
         rng = jax.random.PRNGKey(0)
         dummy = jnp.zeros((1, input_size, input_size, 3), jnp.float32)

@@ -51,6 +51,90 @@ SLIDERS = [
 ]
 
 
+def detect_monitors() -> list[dict]:
+    """Enumerate physical monitors as {x, y, width, height} dicts.
+
+    Cross-platform replacement for the reference's Win32
+    EnumDisplayMonitors path (sbs_tester.py:153-189): Win32 via ctypes on
+    Windows, xrandr parsing on X11, a Tk screen query as fallback, and a
+    1080p default when headless."""
+    monitors: list[dict] = []
+    if os.name == "nt":  # Win32 (reference behavior)
+        try:
+            import ctypes
+            import ctypes.wintypes
+            user32 = ctypes.windll.user32
+
+            def callback(hMon, hdc, rect_p, _data):
+                r = rect_p.contents
+                monitors.append({"x": r.left, "y": r.top,
+                                 "width": r.right - r.left,
+                                 "height": r.bottom - r.top})
+                return True
+
+            proc = ctypes.WINFUNCTYPE(
+                ctypes.c_bool, ctypes.c_ulong, ctypes.c_ulong,
+                ctypes.POINTER(ctypes.wintypes.RECT), ctypes.c_double)
+            user32.EnumDisplayMonitors(None, None, proc(callback), 0)
+        except Exception:
+            pass
+    elif os.environ.get("DISPLAY"):
+        try:
+            import subprocess
+            out = subprocess.run(["xrandr", "--listactivemonitors"],
+                                 capture_output=True, text=True,
+                                 timeout=5).stdout
+            monitors = parse_xrandr_monitors(out)
+        except (OSError, subprocess.SubprocessError):
+            pass
+        if not monitors:
+            try:
+                import tkinter
+                root = tkinter.Tk()
+                monitors = [{"x": 0, "y": 0,
+                             "width": root.winfo_screenwidth(),
+                             "height": root.winfo_screenheight()}]
+                root.destroy()
+            except Exception:
+                pass
+    return monitors or [{"x": 0, "y": 0, "width": 1920, "height": 1080}]
+
+
+def parse_xrandr_monitors(text: str) -> list[dict]:
+    """Parse `xrandr --listactivemonitors` output lines like
+    ' 0: +*eDP-1 1920/309x1080/173+0+0  eDP-1' -> geometry dicts."""
+    import re
+    monitors = []
+    for line in text.splitlines():
+        m = re.search(r"(\d+)/\d+x(\d+)/\d+\+(\d+)\+(\d+)", line)
+        if m:
+            w, h, x, y = (int(g) for g in m.groups())
+            monitors.append({"x": x, "y": y, "width": w, "height": h})
+    return monitors
+
+
+def fullscreen_image(image, monitor: dict):
+    """Stretch the SBS image for a 3D monitor's fullscreen mode: width to
+    the screen, height to screen*2 (the half-height-per-eye convention 3D
+    displays expect — reference sbs_tester.py:191-200), Lanczos4."""
+    import cv2
+    return cv2.resize(image, (monitor["width"], monitor["height"] * 2),
+                      interpolation=cv2.INTER_LANCZOS4)
+
+
+def completion_cue():
+    """Render-finished cue: winsound beep on Windows (reference
+    sbs_tester.py:697), terminal bell elsewhere."""
+    if os.name == "nt":
+        try:
+            import winsound
+            winsound.Beep(800, 100)
+            return
+        except Exception:
+            pass
+    print("\a", end="", flush=True)
+
+
 def render_params(rgb, depth, params: StereoParams):
     """One frame through the TPU pipeline; returns (sbs u8 HxWx3, seconds)."""
     import numpy as np
@@ -131,12 +215,42 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
         return False
 
     params = StereoParams.from_config(config["stereo"])
-    window = "SBS Tester  [n/p: frame  d: depth  s: save  f: fullscreen  q: quit]"
+    window = ("SBS Tester  [n/p: frame  d: depth  s: save  f: 3D fullscreen"
+              "  m: monitor  q: quit]")
     cv2.namedWindow(window, cv2.WINDOW_NORMAL)
     cv2.resizeWindow(window, 1280, 360)
 
-    state = {"frame_idx": 0, "dirty": True, "fullscreen": False}
+    monitors = detect_monitors()
+    print(f"Detected {len(monitors)} monitor(s)")
+    for i, m in enumerate(monitors):
+        print(f"  Monitor {i}: {m['width']}x{m['height']} at "
+              f"({m['x']}, {m['y']})")
+
+    state = {"frame_idx": 0, "dirty": True, "fullscreen": False,
+             "monitor": 0}
     cache: dict[tuple, "np.ndarray"] = {}
+
+    def show(img_rgb):
+        """Display, applying the 3D-monitor stretch in fullscreen mode."""
+        if state["fullscreen"]:
+            img_rgb = fullscreen_image(img_rgb, monitors[state["monitor"]])
+        cv2.imshow(window, img_rgb[:, :, ::-1] if img_rgb.ndim == 3
+                   else img_rgb)
+
+    def apply_fullscreen():
+        mon = monitors[state["monitor"]]
+        if state["fullscreen"]:
+            # leave fullscreen before moving so the WM honors the position
+            cv2.setWindowProperty(window, cv2.WND_PROP_FULLSCREEN,
+                                  cv2.WINDOW_NORMAL)
+            cv2.moveWindow(window, mon["x"], mon["y"])
+            cv2.setWindowProperty(window, cv2.WND_PROP_FULLSCREEN,
+                                  cv2.WINDOW_FULLSCREEN)
+        else:
+            cv2.setWindowProperty(window, cv2.WND_PROP_FULLSCREEN,
+                                  cv2.WINDOW_NORMAL)
+            cv2.resizeWindow(window, 1280, 360)
+        state["dirty"] = True
 
     def on_change(_=None):
         state["dirty"] = True
@@ -174,7 +288,8 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
                 cache[key] = sbs
                 print(f"\rFrame {frames[state['frame_idx']]}: "
                       f"{dt * 1000:.0f} ms   ", end="", flush=True)
-            cv2.imshow(window, cache[key][:, :, ::-1])
+                completion_cue()  # reference beeps when a render lands
+            show(cache[key])
             state["dirty"] = False
 
         key = cv2.waitKey(30) & 0xFF
@@ -195,11 +310,17 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
             else:
                 state["dirty"] = True
         elif key == ord("f"):
+            # 3D-monitor fullscreen: image stretched to height*2 on the
+            # selected monitor (reference sbs_tester.py:191-200)
             state["fullscreen"] = not state["fullscreen"]
-            cv2.setWindowProperty(
-                window, cv2.WND_PROP_FULLSCREEN,
-                cv2.WINDOW_FULLSCREEN if state["fullscreen"]
-                else cv2.WINDOW_NORMAL)
+            apply_fullscreen()
+        elif key == ord("m"):
+            # cycle target monitor (reference sbs_tester.py:153-189)
+            state["monitor"] = (state["monitor"] + 1) % len(monitors)
+            mon = monitors[state["monitor"]]
+            print(f"\nMonitor {state['monitor']}: "
+                  f"{mon['width']}x{mon['height']} at ({mon['x']}, {mon['y']})")
+            apply_fullscreen()
         elif key == ord("s"):
             update_stereo_params(workflow_path, current_params().to_dict())
             print(f"\nSaved stereo parameters to "
