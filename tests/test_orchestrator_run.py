@@ -76,3 +76,49 @@ def test_full_run_completes(tmp_path):
     saved = yaml.safe_load(yaml_path.read_text())
     assert saved[key] == "DONE"
     assert orch.all_finished()
+
+
+def test_streaming_run_completes(tmp_path, test_video):
+    """--streaming mode: one real stream_convert process per workflow (stub
+    depth model, CPU) replaces extract/depth/SBS/chunk; the normal concat
+    step finishes. Statuses collapse to DONE, output video exists, no PNG
+    intermediates were produced."""
+    import json
+    from pathlib import Path
+
+    from vsc_tpu.config import create_default_config, save_config
+
+    wf = tmp_path / "wf1"
+    for sub in ("frames", "depth_maps", "sbs", "chunks"):
+        (wf / sub).mkdir(parents=True)
+    config = create_default_config(test_video)
+    config["stereo"].update({"max_disparity": 5.0, "super_sampling": 1.0,
+                             "artifact_smoothing": 0.0, "sharpen": 0.0})
+    config["encoding"] = {"crf": 30, "preset": "ultrafast"}
+    save_config(wf, config)
+
+    yaml_path = tmp_path / "workflows.yaml"
+    yaml_path.write_text(yaml.safe_dump({str(wf): None}))
+    wm.invalidate_cache()
+
+    workflows = load_workflows(yaml_path)
+    cfg = OrchestratorConfig(scheduler_interval=0.2, streaming=True)
+    orch = Orchestrator(yaml_path, workflows, cfg)
+
+    async def run_with_timeout():
+        await asyncio.wait_for(orch.run(), timeout=300)
+
+    asyncio.run(run_with_timeout())
+
+    key = normalize_path(str(wf))
+    final = orch.workflows[key]
+    for step in ("frame_extractor", "depth_map_generator", "sbs_generator"):
+        assert get_step_status(final[step]) == StepStatus.DONE, step
+    out = Path(json.loads((wf / "config.json").read_text())["output_video"])
+    assert out.exists()
+    assert not list((wf / "frames").glob("*.png"))
+    assert not list((wf / "sbs").glob("*.png"))
+    assert list((wf / "chunks").glob("*.mkv"))
+    saved = yaml.safe_load(yaml_path.read_text())
+    assert saved[key] == "DONE"
+    assert orch.all_finished()

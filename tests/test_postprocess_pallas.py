@@ -40,9 +40,10 @@ def test_fused_matches_jnp(smoothing):
     got = np.asarray(postprocess_eye_pallas(
         jnp.asarray(img), jnp.asarray(valid), jnp.asarray(smooth), smoothing))
     diff = np.abs(got - ref)
-    # interior must match (to the code value); only a <=5px border frame may
+    # interior must match (to the code value); only a border frame as wide
+    # as the polish stencil reach (radius-3 x 2 iters + dilate ~ 8px) may
     # differ, from the documented fill/polish boundary-mode deviation
-    interior = diff[:, 5:-5, 5:-5]
+    interior = diff[:, 8:-8, 8:-8]
     assert interior.max() <= 1.0, f"interior maxdiff {interior.max()}"
     assert (interior > 0).mean() < 0.001
 
@@ -53,5 +54,5 @@ def test_fused_ragged_shapes():
     ref, smooth = _jnp_reference(jnp.asarray(img), jnp.asarray(valid), 1.0)
     got = np.asarray(postprocess_eye_pallas(
         jnp.asarray(img), jnp.asarray(valid), jnp.asarray(smooth), 1.0))
-    diff = np.abs(got - ref)[:, 5:-5, 5:-5]
+    diff = np.abs(got - ref)[:, 8:-8, 8:-8]
     assert diff.max() <= 1.0

@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["postprocess_eye_pallas"]
 
-_FILL_RADIUS = 2
+_FILL_RADIUS = 3  # cv2.inpaint(..., radius=3) neighborhood
 _FILL_OFFS = [(dy, dx, 1.0 / math.hypot(dy, dx))
               for dy in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
               for dx in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
@@ -172,14 +172,17 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             filled = jnp.where(known > 0, val[k], smooth[k])
             val[k] = jnp.where(keep > 0, chans[k], filled)
 
-        # ---- Jacobi polish over filled pixels
+        # ---- polish: inverse-distance re-average over the same radius-3
+        # disc (mirrors ops/inpaint.pyramid_inpaint's polish — approximates
+        # Telea's large-neighborhood averaging)
+        wsum = sum(w for _, _, w in _FILL_OFFS)
         for _ in range(polish):
+            acc = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
+            for dy, dx, w in _FILL_OFFS:
+                for k in range(3):
+                    acc[k] = acc[k] + w * _shift(val[k], dy, dx)
             for k in range(3):
-                acc = jnp.zeros((WR, WC), jnp.float32)
-                for dy in (-1, 0, 1):
-                    for dx in (-1, 0, 1):
-                        acc = acc + _shift(val[k], dy, dx)
-                val[k] = jnp.where(keep > 0, val[k], acc / 9.0)
+                val[k] = jnp.where(keep > 0, val[k], acc[k] / wsum)
 
         for k in range(3):
             out_ref[k, 0] = jnp.round(jnp.clip(
@@ -191,7 +194,7 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
     """(row_halo, col_halo): the total stencil radius, rounded up so the
     DMA window shape stays aligned to the (8, 128) f32 tile."""
     rb = (max(5, min(int(smoothing * 4), 15)) // 2) if smoothing > 0 else 0
-    need = rb + 1 + _FILL_RADIUS * sweeps + polish
+    need = rb + 1 + _FILL_RADIUS * (sweeps + polish)
     halo_r = -(-need // 4) * 4      # 2*halo_r multiple of 8
     halo_c = -(-need // 64) * 64    # 2*halo_c multiple of 128
     return halo_r, halo_c
@@ -200,7 +203,7 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
 @functools.partial(jax.jit,
                    static_argnames=("smoothing", "sweeps", "polish"))
 def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
-                           sweeps: int = 5, polish: int = 4):
+                           sweeps: int = 5, polish: int = 2):
     """Fused equivalent of ops.stereo's bilateral+inpaint postprocess.
 
     Args:

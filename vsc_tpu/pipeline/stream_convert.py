@@ -33,6 +33,39 @@ from pathlib import Path
 from vsc_tpu.config import ConfigError, StereoParams, get_path, load_config
 
 
+class AccelFailure(RuntimeError):
+    """Accelerator health probe failed mid-stream (exit 100 contract)."""
+
+
+def _free_space_cleanup(workflow_path: Path, config: dict, upto: int) -> None:
+    """Streaming produces no intermediates, but a workflow partially
+    processed by the step pipeline may hold frames/depth/SBS PNGs that the
+    encoded chunks now supersede. Honor the step pipeline's free_space
+    semantics for frames <= upto: sbs_generator mode deletes frames/depth,
+    chunk_generator 'sbs'/'all' deletes SBS images (keeping the last frame
+    for chunk overlap, reference chunk_generator.py:455-466)."""
+    from vsc_tpu.config import get_path
+    from vsc_tpu.utils.frame_utils import extract_frame_number
+
+    fs = config.get("free_space", {})
+    sbs_mode = fs.get("sbs_generator", "none")
+    chunk_mode = fs.get("chunk_generator", "none")
+    targets = []
+    if sbs_mode in ("frame", "all"):
+        targets.append((get_path(workflow_path, config, "frames"), upto))
+    if sbs_mode in ("depth", "all"):
+        targets.append((get_path(workflow_path, config, "depth_maps"), upto))
+    if chunk_mode in ("sbs", "all"):
+        targets.append((get_path(workflow_path, config, "sbs"), upto - 1))
+    for directory, limit in targets:
+        if not directory.is_dir():
+            continue
+        for f in directory.iterdir():
+            n = extract_frame_number(f.name)
+            if 0 < n <= limit:
+                f.unlink(missing_ok=True)
+
+
 def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
         chunk_size: int = 1500, model_name: str | None = None,
         input_size: int = 1536, concat: bool = True) -> bool:
@@ -41,6 +74,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
 
     from vsc_tpu.io.media import RawFrameSink, decode_frames
     from vsc_tpu.io.probe import probe_video
+    from vsc_tpu.parallel.health import check_accelerator_health
     from vsc_tpu.pipeline.chunk_generator import find_chunks
     from vsc_tpu.pipeline.depth_map_generator import CHECKPOINT_ENV, build_depth_fn
     from vsc_tpu.ops.stereo import generate_sbs
@@ -72,6 +106,8 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
         # quantize depth to the same grid the configured disk format would
         # use, so this path matches the step-by-step pipeline bit-for-bit
         use_16bit = bool(config["depth"]["save_16bit"])
+        if not check_accelerator_health():
+            raise AccelFailure("accelerator health check failed")
         depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
                                   checkpoint)
         print(f"Streaming {input_video.name}: {W}x{H} @ {framerate}, "
@@ -109,6 +145,10 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
 
         with trace("stream_convert"):
             while frame_no < total or total == 0:
+                # per-chunk known-answer probe, the streaming analogue of the
+                # per-frame GPU health test (reference sbs_generator.py:312-317)
+                if not check_accelerator_health():
+                    raise AccelFailure("accelerator health check failed")
                 # one chunk: chunk_size NEW frames (+ the duplicated boundary
                 # frame on chunks after the first) into an atomic .mkv
                 start_frame = frame_no if frame_no > 0 else 1
@@ -170,6 +210,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                 else:
                     sink.close(success=True)
                 frame_no = actual_end
+                _free_space_cleanup(workflow_path, config, frame_no)
                 if eof:
                     break  # decoder ran dry
         pbar.close()
@@ -205,9 +246,14 @@ def main(argv=None) -> int:
     except ConfigError as e:
         print(f"ERROR: {e}")
         return 1
-    ok = run(args.workflow_path, config, batch_size=args.batch_size,
-             chunk_size=args.chunk_size, model_name=args.model,
-             input_size=args.input_size, concat=not args.no_concat)
+    try:
+        ok = run(args.workflow_path, config, batch_size=args.batch_size,
+                 chunk_size=args.chunk_size, model_name=args.model,
+                 input_size=args.input_size, concat=not args.no_concat)
+    except AccelFailure as e:
+        from vsc_tpu.parallel.health import ACCEL_ERROR_EXIT_CODE
+        print(f"ERROR: {e}")
+        return ACCEL_ERROR_EXIT_CODE
     return 0 if ok else 1
 
 

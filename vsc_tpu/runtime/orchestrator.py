@@ -71,6 +71,10 @@ class OrchestratorConfig:
     max_sbs_processes: int = 2
     max_mutex_processes: int = 1
     scripts_dir: Path = Path(__file__).resolve().parents[2]
+    # Streaming mode: one stream_convert process per workflow replaces the
+    # extract/depth/SBS/chunk steps (no PNG intermediates); concat stays a
+    # normal step. Opt-in via `workflow_orchestrator.py --streaming`.
+    streaming: bool = False
 
 
 @dataclass
@@ -105,7 +109,7 @@ def _free_gb(path: Path) -> float:
 
 class Orchestrator:
     # Accelerator-bound steps, subject to the failure cooldown.
-    ACCEL_STEPS = ("depth_map_generator", "sbs_generator")
+    ACCEL_STEPS = ("depth_map_generator", "sbs_generator", "stream_convert")
 
     def __init__(self, yaml_path: Path, workflows: dict[str, dict],
                  cfg: OrchestratorConfig | None = None, console=None):
@@ -194,6 +198,16 @@ class Orchestrator:
             sbs_done = self._status(workflow, "sbs_generator") == StepStatus.DONE
             last = metrics.get_last_chunk_end_frame(path)
             return metrics.get_next_chunk_end_frame(path, last, sbs_done) is not None
+
+        if step == "stream_convert":
+            # owns the accelerator: shares the depth-process budget
+            if self._active_count(step) >= self.cfg.max_depth_processes:
+                return False
+            if st == StepStatus.ERROR:
+                return False
+            if metrics.is_all_chunks_complete(path):
+                return False
+            return True
 
         if step == "video_concatenator":
             if self._status(workflow, "sbs_generator") != StepStatus.DONE:
@@ -294,6 +308,8 @@ class Orchestrator:
         cmd = [sys.executable, str(script), workflow_path]
         if step in ("depth_map_generator", "sbs_generator"):
             cmd.append("--no-interactive")
+        if step == "stream_convert":
+            cmd.append("--no-concat")  # concat stays a gated step
         if step == "chunk_generator":
             path = Path(workflow_path)
             sbs_done = self._status(workflow, "sbs_generator") == StepStatus.DONE
@@ -402,7 +418,14 @@ class Orchestrator:
                 return
             if rc == 0:
                 self.strikes.pop(info.key, None)
-                if info.step == "sbs_generator":
+                if info.step == "stream_convert":
+                    # the stream subsumes extract/depth/SBS: mark them DONE
+                    # so the concat gate and workflow_finished() see a
+                    # completed pipeline
+                    for step in ("frame_extractor", "depth_map_generator",
+                                 "sbs_generator"):
+                        set_step_status(workflow, step, StepStatus.DONE)
+                elif info.step == "sbs_generator":
                     # SBS finishing while depth still streams means another
                     # pass is needed later: re-arm to PENDING
                     path = Path(info.workflow_path)
@@ -421,7 +444,8 @@ class Orchestrator:
                 self.log(f"[green]DONE[/green]: {info.step} for {name}")
             else:
                 tail_lines = [l for l in info.tail.splitlines() if l.strip()][-5:]
-                accel_failure = (info.step == "depth_map_generator"
+                accel_failure = (info.step in ("depth_map_generator",
+                                               "stream_convert")
                                  or rc == ACCEL_ERROR_EXIT_CODE)
                 if accel_failure:
                     await self._handle_accel_failure()
@@ -513,6 +537,13 @@ class Orchestrator:
         return [p for p in startable if p in allowed]
 
     async def schedule_once(self) -> None:
+        if self.cfg.streaming:
+            # streaming mode: concat first, then one stream per workflow
+            for step in ("video_concatenator", "stream_convert"):
+                for wf_path, wf in self.workflows.items():
+                    if self._can_start(step, wf_path, wf):
+                        await self._launch(step, wf_path)
+            return
         # Priority: completion-side steps first
         for step in ("video_concatenator", "chunk_generator",
                      "sbs_generator", "depth_map_generator"):
@@ -612,6 +643,9 @@ def main(argv=None) -> int:
         description="Orchestrate multiple video conversion workflows")
     parser.add_argument("yaml_path", type=Path, help="workflows.yaml file")
     parser.add_argument("--validate-only", action="store_true")
+    parser.add_argument("--streaming", action="store_true",
+                        help="One streaming process per workflow (no PNG "
+                             "intermediates) instead of the classic steps")
     args = parser.parse_args(argv)
 
     console = Console()
@@ -629,7 +663,8 @@ def main(argv=None) -> int:
         return 0
     console.print(f"[blue]Loaded {len(workflows)} workflow(s)[/blue]")
 
-    orch = Orchestrator(args.yaml_path, workflows, console=console)
+    cfg = OrchestratorConfig(streaming=args.streaming)
+    orch = Orchestrator(args.yaml_path, workflows, cfg=cfg, console=console)
     if args.validate_only:
         ok = orch.validate_all()
         orch.dash.print_status_table()
