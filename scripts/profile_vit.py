@@ -102,6 +102,18 @@ def main():
         out, _ = jax.lax.scan(body, q, None, length=L)
         return out
 
+    @jax.jit
+    def fold_unfold_only(q):
+        def body(h, _):
+            B, T, Hh, Dh_ = h.shape
+            f = jnp.moveaxis(h, 2, 1).reshape(B * Hh, T, Dh_)
+            f = jnp.pad(f, [(0, 0), (0, 7), (0, 0)])
+            g = f[:, :T].reshape(B, Hh, T, Dh_)
+            return jnp.moveaxis(g, 1, 2), None
+        out, _ = jax.lax.scan(body, q, None, length=L)
+        return out
+
+    bench(f"attn fold/unfold only x{L}", fold_unfold_only, qkv)
     bench(f"attention x{L} (xla blocked)", attn_xla_blocked, qkv)
     bench(f"attention x{L} (pallas)", attn_only, qkv)
     bench(f"block matmuls+gelu x{L}", matmuls_only, x)

@@ -59,3 +59,37 @@ def test_stream_convert(workflow, test_video):
     names = sorted(p.name for p in chunks_dir.glob("*.mkv"))
     assert names == ["sbs_000001_000016.mkv", "sbs_000016_000032.mkv",
                      "sbs_000032_000036.mkv"]
+
+
+def test_stream_compute_is_sharded(workflow, test_video, monkeypatch):
+    """VERDICT r1 item 10: the streaming compute loop runs with the batch
+    sharded over the 8-device virtual mesh (depth via jit SPMD, SBS via its
+    shard_map form) and still produces a correct, probe-clean output."""
+    import jax
+    from vsc_tpu.pipeline import stream_convert
+
+    assert len(jax.devices()) == 8  # conftest virtual mesh
+
+    captured = []
+    from vsc_tpu.ops import stereo as stereo_mod
+    real_generate = stereo_mod.generate_sbs
+
+    def spying_generate(rgb, depth, params=None):
+        captured.append(stereo_mod._data_mesh_of(rgb, depth))
+        return real_generate(rgb, depth, params)
+
+    # run() imports generate_sbs from the module at call time, after this
+    monkeypatch.setattr(stereo_mod, "generate_sbs", spying_generate)
+    config = load_config(workflow)
+    config["stereo"].update(FAST_STEREO)
+    config["encoding"] = {"crf": 30, "preset": "ultrafast"}
+    save_config(workflow, config)
+    assert stream_convert.run(workflow, config, batch_size=8, chunk_size=36,
+                              model_name="stub", input_size=96, concat=False)
+    # every dispatch saw inputs sharded over the full data mesh
+    assert captured and all(m is not None and m.shape["data"] == 8
+                            for m in captured)
+    chunks = sorted(get_path(workflow, config, "chunks").glob("*.mkv"))
+    assert [c.name for c in chunks] == ["sbs_000001_000036.mkv"]
+    info = probe_video(chunks[0])
+    assert info["width"] == 384 and info["nb_frames"] == 36

