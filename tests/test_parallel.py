@@ -96,3 +96,28 @@ def test_sharded_sbs_pallas_matches_single(backend, monkeypatch):
                              NamedSharding(mesh, P("data", None, None)))
     sharded = np.asarray(generate_sbs(rgb_s, depth_s, params))
     np.testing.assert_array_equal(sharded, single)
+
+
+def test_distributed_initialize_single_host(monkeypatch):
+    """Multi-host bring-up helper: no-op without coordinator config, wires
+    jax.distributed with explicit args (captured via stub — this sandbox
+    has one host), idempotent afterwards."""
+    import vsc_tpu.parallel.distributed as dist
+
+    monkeypatch.setattr(dist, "_initialized", False)
+    for var in ("JAX_COORDINATOR_ADDRESS", "COORDINATOR_ADDRESS",
+                "TPU_WORKER_HOSTNAMES"):
+        monkeypatch.delenv(var, raising=False)
+    assert dist.initialize() is False
+    assert dist.is_multi_host() is False
+
+    calls = []
+    monkeypatch.setattr(jax.distributed, "initialize",
+                        lambda **kw: calls.append(kw))
+    assert dist.initialize(coordinator="host0:1234", num_processes=4,
+                           process_id=2) is True
+    assert calls == [{"coordinator_address": "host0:1234",
+                      "num_processes": 4, "process_id": 2}]
+    # idempotent: second call skips re-initialization
+    assert dist.initialize() is True
+    assert len(calls) == 1

@@ -83,10 +83,13 @@ class Attention(nn.Module):
         B, T, D = x.shape
         H = cfg.num_heads
         Dh = D // H
-        # Fused QKV projection, sharded over heads (TP).
+        # Fused QKV projection, sharded over heads (TP). q/k/v split via
+        # lane-aligned slices of the last dim (a [.., 3, H, Dh] reshape +
+        # index would relayout ~166 MB per tensor per block on TPU).
         qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
-        qkv = qkv.reshape(B, T, 3, H, Dh)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+        q = qkv[..., :D].reshape(B, T, H, Dh)
+        k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
+        v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
         scale = 1.0 / math.sqrt(Dh)
         use_flash = cfg.flash_attention
         if use_flash is None:

@@ -125,7 +125,9 @@ def _postprocess_eye(warped, valid_mask, artifact_smoothing: float):
     from vsc_tpu.ops.inpaint import _pyramid_fill
 
     img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
-    smooth = _pyramid_fill(img_u8, valid_mask[..., None])
+    # quarter-res pyramid: the estimate only serves hole interiors beyond
+    # the frontier sweeps' reach, which are inherently smooth
+    smooth = _pyramid_fill(img_u8, valid_mask[..., None], coarse_factor=4)
 
     choice = os.environ.get("VSC_TPU_POSTPROCESS")
     if choice != "jnp" and (choice == "pallas"
