@@ -15,6 +15,11 @@ import os
 os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
                            + " --xla_force_host_platform_device_count=8").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Child processes spawned by tests (orchestrator steps, stream_convert)
+# inherit a sitecustomize that pins the real TPU regardless of env
+# JAX_PLATFORMS; this flag makes their setup_jax() switch to CPU via
+# jax.config before the first dispatch, keeping the suite hermetic.
+os.environ["VSC_TPU_FORCE_CPU"] = "1"
 
 import jax  # noqa: E402
 

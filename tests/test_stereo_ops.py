@@ -221,3 +221,24 @@ def test_pipeline_batched_consistency():
     for i in range(3):
         single = np.asarray(generate_sbs(rgbs[i:i+1], depths[i:i+1], params))[0]
         np.testing.assert_array_equal(batch[i], single)
+
+
+def test_resize_bilinear_integer_factor_matches_torch():
+    # exercises the phase-decomposition fast path (supersampling x3)
+    x = np.random.default_rng(1).random((2, 24, 40)).astype(np.float32)
+    for f in (2, 3, 4):
+        out = np.asarray(resize(x, 24 * f, 40 * f, "bilinear"))
+        ref = F.interpolate(torch.from_numpy(x)[:, None],
+                            size=(24 * f, 40 * f), mode="bilinear",
+                            align_corners=False)[:, 0].numpy()
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_resize_area_integer_factor_matches_torch():
+    # exercises the reshape-mean fast path (final downscale /3)
+    x = np.random.default_rng(2).random((1, 60, 96)).astype(np.float32)
+    for f in (2, 3, 4):
+        out = np.asarray(resize(x, 60 // f, 96 // f, "area"))
+        ref = F.interpolate(torch.from_numpy(x)[:, None],
+                            size=(60 // f, 96 // f), mode="area")[:, 0].numpy()
+        np.testing.assert_allclose(out, ref, atol=1e-5)

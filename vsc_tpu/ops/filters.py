@@ -50,12 +50,31 @@ def _reflect_pad_hw(img, ph: int, pw: int, channel_last: bool):
 
 def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False):
     """Separable gaussian blur with reflect-101 padding; spatial dims are the
-    last two axes (or (-3,-2) with channel_last). Implemented as a static
-    shift-and-accumulate over the (<=31-tap) kernel — pure VPU work with a
-    tiny constant table, no dense convolution matrices."""
+    last two axes (or (-3,-2) with channel_last). On TPU this dispatches to
+    the fused Pallas kernel (ops/blur_pallas.py, bit-exact same tap order);
+    elsewhere (or with VSC_TPU_BLUR=jnp) a static shift-and-accumulate over
+    the (<=31-tap) kernel — pure VPU work with a tiny constant table."""
+    import os
+
+    import jax
     import jax.numpy as jnp
 
     h_axis = img.ndim - (3 if channel_last else 2)
+    choice = os.environ.get("VSC_TPU_BLUR")
+    use_pallas = (choice != "jnp"
+                  and (choice == "pallas" or jax.default_backend() == "tpu")
+                  and img.shape[h_axis] > ksize // 2
+                  and img.shape[h_axis + 1] > ksize // 2)
+    if use_pallas:
+        from vsc_tpu.ops.blur_pallas import gaussian_blur_pallas
+        dt = img.dtype
+        x = img.astype(jnp.float32)
+        if channel_last:
+            x = jnp.moveaxis(x, -1, -3)
+        out = gaussian_blur_pallas(x, ksize, sigma)
+        if channel_last:
+            out = jnp.moveaxis(out, -3, -1)
+        return out.astype(dt)
     w_axis = h_axis + 1
     H, W = img.shape[h_axis], img.shape[w_axis]
     r = ksize // 2

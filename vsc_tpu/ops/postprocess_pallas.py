@@ -56,8 +56,16 @@ _POLISH_RADIUS = 3
 _FILL_OFFS = _disc(_FILL_RADIUS)
 _POLISH_OFFS = _disc(_POLISH_RADIUS)
 
-BLOCK_R = 64
-BLOCK_C = 256
+# Block geometry: at 64x256 a supersampled 1080p eye was 1224 grid cells,
+# and with the manual (non-pipelined) halo DMAs each cell serialized ~25 us
+# of DMA latency + dispatch overhead — the whole stage was overhead-bound
+# (~34 ms/eye measured with sparse holes). 128x512 cuts it to ~312 cells
+# AND the kernel prefetches the next cell's window during compute (double-
+# buffered halo DMA), so the remaining per-cell DMA is overlapped, not
+# serialized. Bigger blocks (256x1024) OOM vmem: the stencil chain keeps
+# ~100 live block temporaries and the register allocator spilled 137 MB.
+BLOCK_R = 128
+BLOCK_C = 512
 
 
 def _bilateral_offs(radius: int):
@@ -80,41 +88,63 @@ def _shift(a, dy: int, dx: int):
 def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             out_ref, win_ref, sem,
             *, halo_r: int, halo_c: int, smoothing: float, sweeps: int,
-            polish: int, sigma_color: float):
+            polish: int, sigma_color: float, nb: int, nr: int, nc: int):
     """Grid: (B, nr, nc). Inputs are [B, Hp, Wp] HBM planes (stacked as a
-    leading axis: imgs/smooth carry 3 channel-planes each)."""
+    leading axis: imgs/smooth carry 3 channel-planes each).
+
+    The halo windows are DOUBLE-BUFFERED: scratch persists across grid
+    steps, so each cell starts the DMA for the NEXT cell's window into the
+    other buffer before computing on its own — the halo transfer runs under
+    the stencil compute instead of serializing ~10-25 us per cell."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
     WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
-    r0 = i * BLOCK_R
-    c0 = j * BLOCK_C
+    t = (b * nr + i) * nc + j
+    total = nb * nr * nc
+    slot = jax.lax.rem(t, 2)
 
-    # ---- DMA the haloed window of all 8 planes into VMEM
-    copies = []
-    for k in range(3):
-        copies.append(pltpu.make_async_copy(
-            imgs_ref.at[k, b, pl.ds(r0, WR), pl.ds(c0, WC)],
-            win_ref.at[k], sem.at[k]))
-    copies.append(pltpu.make_async_copy(
-        valid_ref.at[b, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref.at[3],
-        sem.at[3]))
-    copies.append(pltpu.make_async_copy(
-        inimg_ref.at[b, pl.ds(r0, WR), pl.ds(c0, WC)], win_ref.at[4],
-        sem.at[4]))
-    for k in range(3):
-        copies.append(pltpu.make_async_copy(
-            smooth_ref.at[k, b, pl.ds(r0, WR), pl.ds(c0, WC)],
-            win_ref.at[5 + k], sem.at[5 + k]))
-    for c in copies:
-        c.start()
-    for c in copies:
+    def copies(slot_idx, bb, ii, jj):
+        r0 = ii * BLOCK_R
+        c0 = jj * BLOCK_C
+        cs = []
+        for k in range(3):
+            cs.append(pltpu.make_async_copy(
+                imgs_ref.at[k, bb, pl.ds(r0, WR), pl.ds(c0, WC)],
+                win_ref.at[slot_idx, k], sem.at[slot_idx, k]))
+        cs.append(pltpu.make_async_copy(
+            valid_ref.at[bb, pl.ds(r0, WR), pl.ds(c0, WC)],
+            win_ref.at[slot_idx, 3], sem.at[slot_idx, 3]))
+        cs.append(pltpu.make_async_copy(
+            inimg_ref.at[bb, pl.ds(r0, WR), pl.ds(c0, WC)],
+            win_ref.at[slot_idx, 4], sem.at[slot_idx, 4]))
+        for k in range(3):
+            cs.append(pltpu.make_async_copy(
+                smooth_ref.at[k, bb, pl.ds(r0, WR), pl.ds(c0, WC)],
+                win_ref.at[slot_idx, 5 + k], sem.at[slot_idx, 5 + k]))
+        return cs
+
+    @pl.when(t == 0)
+    def _start_first():
+        for c in copies(slot, b, i, j):
+            c.start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch_next():
+        tn = t + 1
+        bn = tn // (nr * nc)
+        rem = tn % (nr * nc)
+        for c in copies(1 - slot, bn, rem // nc, rem % nc):
+            c.start()
+
+    for c in copies(slot, b, i, j):
         c.wait()
 
-    chans = [jnp.floor(jnp.clip(win_ref[k], 0.0, 255.0)) for k in range(3)]
-    valid = win_ref[3]
-    inimg = win_ref[4]
-    smooth = [win_ref[5 + k] for k in range(3)]
+    chans = [jnp.floor(jnp.clip(win_ref[slot, k], 0.0, 255.0))
+             for k in range(3)]
+    valid = win_ref[slot, 3]
+    inimg = win_ref[slot, 4]
+    smooth = [win_ref[slot, 5 + k] for k in range(3)]
 
     # ---- bilateral (cv2 weight laws), skipped when smoothing == 0
     if smoothing > 0:
@@ -156,10 +186,14 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
 
     @pl.when(jnp.sum(hole * inimg) > 0)
     def _fill_branch():
-        # ---- frontier fill (pad region stays unknown: inimg = 0 there)
-        val = [c * keep for c in chans]
-        known = keep * inimg
-        for _ in range(sweeps):
+        # ---- frontier fill (pad region stays unknown: inimg = 0 there).
+        # The identical sweeps run as a fori_loop, NOT unrolled: each sweep
+        # body is ~50 block-ops of static-shift stencils, and unrolling
+        # `sweeps` copies multiplied Mosaic compile time with zero runtime
+        # benefit (the loop trip count is tiny next to the stencil work).
+        def one_sweep(_, carry):
+            v0, v1, v2, known = carry
+            val = (v0, v1, v2)
             num = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
             den = jnp.zeros((WR, WC), jnp.float32)
             for dy, dx, w in _FILL_OFFS:
@@ -170,9 +204,15 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             reach = (den > 1e-8).astype(jnp.float32)
             upd = (1.0 - known) * reach
             inv_den = 1.0 / jnp.maximum(den, 1e-8)
-            for k in range(3):
-                val[k] = val[k] * (1.0 - upd) + (num[k] * inv_den) * upd
-            known = jnp.maximum(known, reach)
+            out = [val[k] * (1.0 - upd) + (num[k] * inv_den) * upd
+                   for k in range(3)]
+            return out[0], out[1], out[2], jnp.maximum(known, reach)
+
+        known0 = keep * inimg
+        v0, v1, v2, known = jax.lax.fori_loop(
+            0, sweeps, one_sweep,
+            (chans[0] * known0, chans[1] * known0, chans[2] * known0, known0))
+        val = [v0, v1, v2]
 
         # unreached interior -> smooth estimate; exact pixels restored
         for k in range(3):
@@ -183,13 +223,16 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
         # (mirrors ops/inpaint.pyramid_inpaint's polish — approximates
         # Telea's large-neighborhood averaging)
         wsum = sum(w for _, _, w in _POLISH_OFFS)
-        for _ in range(polish):
+
+        def one_polish(_, carry):
             acc = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
             for dy, dx, w in _POLISH_OFFS:
                 for k in range(3):
-                    acc[k] = acc[k] + w * _shift(val[k], dy, dx)
-            for k in range(3):
-                val[k] = jnp.where(keep > 0, val[k], acc[k] / wsum)
+                    acc[k] = acc[k] + w * _shift(carry[k], dy, dx)
+            return tuple(jnp.where(keep > 0, carry[k], acc[k] / wsum)
+                         for k in range(3))
+
+        val = list(jax.lax.fori_loop(0, polish, one_polish, tuple(val)))
 
         for k in range(3):
             out_ref[k, 0] = jnp.round(jnp.clip(
@@ -250,7 +293,8 @@ def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
     WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
     kernel = functools.partial(
         _kernel, halo_r=halo_r, halo_c=halo_c, smoothing=smoothing,
-        sweeps=sweeps, polish=polish, sigma_color=30.0)
+        sweeps=sweeps, polish=polish, sigma_color=30.0,
+        nb=B, nr=nr, nc=nc)
 
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
@@ -263,8 +307,8 @@ def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
         out_shape=jax.ShapeDtypeStruct((3, B, nr * BLOCK_R, nc * BLOCK_C),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((8, WR, WC), jnp.float32),
-            pltpu.SemaphoreType.DMA((8,)),
+            pltpu.VMEM((2, 8, WR, WC), jnp.float32),   # double-buffered halos
+            pltpu.SemaphoreType.DMA((2, 8)),
         ],
         # the unrolled stencil chain keeps ~80 block-sized temporaries live;
         # the default 16M scoped-vmem limit is too small (v5e has 128M)

@@ -49,14 +49,16 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     neg_inf = jnp.float32(-jnp.inf)
     shape = (disp.shape[0], W)
 
-    def select(best, take, new):
-        k, w, r, g, b = best
-        nk, nw, nr, ng, nb = new
-        return (jnp.where(take, nk, k), jnp.where(take, nw, w),
-                jnp.where(take, nr, r), jnp.where(take, ng, g),
-                jnp.where(take, nb, b))
-
     def run_eye(sign, s_lo, s_hi):
+        # Loop-invariant planes, computed ONCE per block per eye: the shift
+        # loop below then only slices + compares (the floor/frac/mul chain
+        # used to run inside every one of the ~D iterations).
+        d_signed = disp * sign
+        k_all = jnp.floor(d_signed)
+        frac_all = d_signed - k_all
+        # depth key in [0, 1]: |disp| / max_disp (sign * sign == 1)
+        z_all = d_signed * (sign * inv_max_disp)
+        ceil_ok = frac_all > 0.3
         best = (jnp.full(shape, neg_inf, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
                 jnp.zeros(shape, jnp.float32),
@@ -64,21 +66,21 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                 jnp.zeros(shape, jnp.float32))
         for s in range(s_lo, s_hi):
             lo = P - s
-            d_s = disp[:, lo:lo + W] * sign
-            r_s = red[:, lo:lo + W]
-            g_s = green[:, lo:lo + W]
-            b_s = blue[:, lo:lo + W]
-            # depth recovered from signed disparity: d_s*sign = |disp|
-            z_s = d_s * (sign * inv_max_disp)
-            k = jnp.floor(d_s)
-            frac = d_s - k
+            sl = (slice(None), slice(lo, lo + W))
+            k = k_all[sl]
+            frac = frac_all[sl]
+            z_s = z_all[sl]
             is_floor = k == s
-            is_ceil = (k == s - 1) & (frac > 0.3)
+            is_ceil = (k == s - 1) & ceil_ok[sl]
             key = jnp.where(is_ceil, 2.0 + z_s,
                             jnp.where(is_floor, z_s, neg_inf))
             wgt = jnp.where(is_ceil, frac, 1.0 - frac)
             take = key > best[0]
-            best = select(best, take, (key, wgt, r_s, g_s, b_s))
+            best = (jnp.where(take, key, best[0]),
+                    jnp.where(take, wgt, best[1]),
+                    jnp.where(take, red[sl], best[2]),
+                    jnp.where(take, green[sl], best[3]),
+                    jnp.where(take, blue[sl], best[4]))
         return best
 
     lk, lw, lr, lg, lb = run_eye(1.0, 0, D + 2)
@@ -96,9 +98,23 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     rb_ref[...] = rb
 
 
+def _auto_block_rows(width: int, pad: int) -> int:
+    """Largest row-block that keeps the kernel's VMEM footprint comfortable:
+    ~4 padded input planes + 10 output planes + ~10 loop temporaries, times
+    the pipeline's double buffering of ins/outs. Bigger blocks amortize the
+    per-grid-cell dispatch overhead that dominated at 8 rows (810 cells for
+    a supersampled 1080p batch-2 frame pair: ~20 ms of pure overhead)."""
+    budget = 72 * 1024 * 1024
+    for rows in (64, 32, 16, 8):
+        per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
+        if rows * per_row <= budget:
+            return rows
+    return 8
+
+
 @functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
 def forward_warp_stereo_pallas(image, depth, max_disparity: float,
-                               block_rows: int = 8):
+                               block_rows: int | None = None):
     """Drop-in equivalent of ops.warp.forward_warp_stereo.
 
     Args:
@@ -113,6 +129,8 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
     assert C == 3, "pallas warp kernel expects RGB"
     D = int(math.floor(max_disparity)) + 1
     P = D + 2
+    if block_rows is None:
+        block_rows = _auto_block_rows(W, P)
 
     disp = depth * max_disparity
     # fold batch into rows so one 2-D grid covers everything

@@ -241,9 +241,10 @@ def main(argv=None) -> int:
                         help="Stop after chunk encoding")
     args = parser.parse_args(argv)
 
+    from vsc_tpu.utils.jax_setup import force_cpu, setup_jax
     if args.cpu:
-        from vsc_tpu.utils.jax_setup import force_cpu
         force_cpu()
+    setup_jax()  # persistent XLA cache + VSC_TPU_FORCE_CPU test hermeticity
     if not args.workflow_path.is_dir():
         print(f"ERROR: Workflow directory not found: {args.workflow_path}")
         return 1

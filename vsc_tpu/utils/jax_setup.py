@@ -31,6 +31,12 @@ def setup_jax() -> None:
     if _done:
         return
     _done = True
+    if os.environ.get("VSC_TPU_FORCE_CPU") == "1":
+        # Hermetic-test escape hatch: child processes of the test suite must
+        # not touch the real TPU (the sitecustomize in this environment pins
+        # the TPU platform regardless of env JAX_PLATFORMS, so the --cpu
+        # style jax.config override is the only way).
+        force_cpu()
     try:
         from vsc_tpu.parallel.distributed import initialize
         initialize()
