@@ -34,3 +34,31 @@ def test_group_size_divides():
     assert _group_size(1120, 584, 64) in (2, 4, 8, 16)
     assert 1120 % _group_size(1120, 584, 64) == 0
     assert _group_size(7, 584, 64) == 1
+
+
+@pytest.mark.parametrize("B,T,H,Dh", [
+    (2, 37, 4, 64),    # unaligned T; 256-lane group = 4 heads
+    (3, 577, 16, 64),  # production geometry (ViT-L tile)
+    (2, 64, 2, 128),   # Dh == lane tile
+])
+def test_qkv_attention_matches_einsum(B, T, H, Dh):
+    from vsc_tpu.ops.attention_pallas import (qkv_lane_group,
+                                              qkv_short_seq_attention)
+    D = H * Dh
+    assert qkv_lane_group(D, Dh) is not None
+    rng = np.random.default_rng(1)
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * D)).astype(np.float32))
+    scale = 1.0 / np.sqrt(Dh)
+    got = np.asarray(qkv_short_seq_attention(qkv, H, scale))
+    q = qkv[..., :D].reshape(B, T, H, Dh)
+    k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
+    v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
+    want = np.asarray(einsum_attention(q, k, v, scale)).reshape(B, T, D)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
+def test_qkv_lane_group_rules():
+    from vsc_tpu.ops.attention_pallas import qkv_lane_group
+    assert qkv_lane_group(1024, 64) in (128, 256, 512)
+    assert qkv_lane_group(1024, 64) % 64 == 0
+    assert qkv_lane_group(96, 48) is None  # 96 lanes not a tile multiple

@@ -83,14 +83,11 @@ class Attention(nn.Module):
         B, T, D = x.shape
         H = cfg.num_heads
         Dh = D // H
-        # Fused QKV projection, sharded over heads (TP). q/k/v split via
-        # lane-aligned slices of the last dim (a [.., 3, H, Dh] reshape +
-        # index would relayout ~166 MB per tensor per block on TPU).
+        # Fused QKV projection, sharded over heads (TP).
         qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
-        q = qkv[..., :D].reshape(B, T, H, Dh)
-        k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
-        v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
         scale = 1.0 / math.sqrt(Dh)
+        from vsc_tpu.ops.attention_pallas import (qkv_lane_group,
+                                                  qkv_short_seq_attention)
         use_flash = cfg.flash_attention
         if use_flash is None:
             # auto: only where a pallas_call is SPMD-safe — single-device
@@ -100,18 +97,24 @@ class Attention(nn.Module):
             use_flash = (jax.default_backend() == "tpu"
                          and not cfg.seq_shard
                          and jax.device_count() == 1)
-        if use_flash:
-            from vsc_tpu.ops.attention_pallas import short_seq_attention
-            out = short_seq_attention(q, k, v, scale)
+        if use_flash and qkv_lane_group(D, Dh) is not None:
+            # Straight from the fused projection: no q/k/v split, no
+            # [B,T,H,Dh] transposes — the kernel reads head groups via
+            # lane-offset views of `qkv` and returns [B, T, D].
+            out = qkv_short_seq_attention(qkv, H, scale)
         else:
             # Einsum attention: f32 softmax, no mask (bidirectional ViT).
-            # Memory-bound on the [B, H, T, T] logits at production shapes —
-            # the flash path avoids materializing them.
+            # q/k/v split via lane-aligned slices of the last dim (a
+            # [.., 3, H, Dh] reshape + index would relayout ~166 MB per
+            # tensor per block on TPU). Memory-bound on the [B, H, T, T]
+            # logits at production shapes.
+            q = qkv[..., :D].reshape(B, T, H, Dh)
+            k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
+            v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
             probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        out = out.reshape(B, T, D)
+            out = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(B, T, D)
         return _dense(D, "proj", ("heads", "embed"), cfg)(out)
 
 

@@ -26,7 +26,91 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["short_seq_attention"]
+__all__ = ["short_seq_attention", "qkv_short_seq_attention"]
+
+
+def _qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, scale: float,
+                heads: int, Dh: int):
+    """One grid cell = one lane-group of `heads` heads for one batch row.
+    The q/k/v refs are lane-offset views of the SAME fused [B, T, 3D] qkv
+    tensor (three in_specs with different lane-block index maps), so no
+    [B,T,H,Dh] transpose or separate q/k/v materialization ever happens."""
+    Tp = q_ref.shape[1]
+    if Tp != T:
+        col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
+        neg_bias = jnp.where(col < T, 0.0, -1e30).astype(jnp.float32)
+    for h in range(heads):
+        sl = (0, slice(None), slice(h * Dh, (h + 1) * Dh))
+        q = q_ref[sl]                                        # [Tp, Dh]
+        k = k_ref[sl]
+        v = v_ref[sl]
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale      # [Tp, Tp]
+        if Tp != T:
+            logits = logits + neg_bias
+        logits = logits - jnp.max(logits, axis=-1, keepdims=True)
+        p32 = jnp.exp(logits)
+        denom = jnp.sum(p32, axis=-1, keepdims=True)
+        out = jax.lax.dot_general(
+            p32.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        o_ref[0, :, h * Dh:(h + 1) * Dh] = (out / denom).astype(o_ref.dtype)
+
+
+def qkv_lane_group(D: int, Dh: int) -> int | None:
+    """Lane-group width for qkv_short_seq_attention: a multiple of both the
+    128-lane tile and the head dim that divides D (None if impossible)."""
+    if D % Dh:
+        return None
+    step = Dh * 128 // math.gcd(Dh, 128)
+    for lanes in (512, 384, 256, 128):
+        if lanes % step == 0 and D % lanes == 0:
+            return lanes
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
+def qkv_short_seq_attention(qkv, num_heads: int, scale: float):
+    """Attention straight from the fused QKV projection.
+
+    qkv: [B, T, 3*D] laid out q | k | v along lanes (the natural output of
+    one Dense(3D)); returns [B, T, D] ready for the output projection.
+
+    Versus short_seq_attention this removes every transpose around the
+    kernel: the [B,T,H,Dh] fold/unfold of q, k, v and out cost 4 HBM
+    round-trips of relayout per ViT block (~40% of the measured attention
+    stage at DepthPro production shapes).
+    """
+    B, T, D3 = qkv.shape
+    D = D3 // 3
+    Dh = D // num_heads
+    lanes = qkv_lane_group(D, Dh)
+    assert lanes is not None, (D, Dh)
+    heads = lanes // Dh
+    Tp = -(-T // 8) * 8
+    if Tp != T:
+        qkv = jnp.pad(qkv, [(0, 0), (0, Tp - T), (0, 0)])
+    G = D // lanes
+
+    def spec(part):
+        return pl.BlockSpec(
+            (1, Tp, lanes),
+            lambda b, g, _p=part: (b, 0, _p * G + g),
+            memory_space=pltpu.VMEM)
+
+    out = pl.pallas_call(
+        functools.partial(_qkv_kernel, T=T, scale=scale, heads=heads, Dh=Dh),
+        grid=(B, G),
+        in_specs=[spec(0), spec(1), spec(2)],
+        out_specs=pl.BlockSpec((1, Tp, lanes), lambda b, g: (b, 0, g),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, Tp, D), qkv.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=jax.default_backend() != "tpu",
+    )(qkv, qkv, qkv)
+    return out[:, :T]
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, scale: float, group: int):

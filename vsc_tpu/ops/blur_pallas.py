@@ -5,13 +5,19 @@ Separable gaussian blur — Pallas TPU kernel
 Both passes of ops.filters.gaussian_blur (rows then cols, reflect-101
 borders, kornia tap order — /root/reference/helper/stereo_core.py:368-385)
 fused into one VMEM-resident kernel: each grid cell DMAs one haloed
-row-block, runs the 1-D tap accumulations for both axes out of VMEM in the
+window, runs the 1-D tap accumulations for both axes out of VMEM in the
 exact same order as the jnp path, and writes the finished block once.
 
 Why: XLA's shift-and-accumulate formulation re-reads the padded operand per
 tap from HBM (k=31 edge softening measured 9.6 ms/frame at supersampled
 1080p — ~20x the bandwidth bound). Here HBM traffic is one read + one
 write; the VPU does the ~2k FMAs/pixel-row directly.
+
+Geometry: a 2-D block grid with double-buffered halo DMA (the next cell's
+window transfers during the current cell's taps — same pattern as
+ops/postprocess_pallas.py). Blocks are bounded in BOTH dims: full-width
+blocks at production widths made the register allocator keep the unaligned
+lane-shifted tap operands alive and spill ~183 MB of VMEM.
 
 Numerics: identical accumulation order to filters.gaussian_blur, so results
 are bit-exact against the jnp path (equivalence-tested in interpret mode).
@@ -31,28 +37,44 @@ from vsc_tpu.ops.filters import gaussian_kernel1d
 __all__ = ["gaussian_blur_pallas"]
 
 _BLOCK_R = 256
+_BLOCK_C = 512
 
 
-def _kernel(x_ref, o_ref, win_ref, sem, *, taps, r: int, block_r: int,
-            w_out: int, win_r: int):
+def _kernel(x_ref, o_ref, win_ref, sem, *, taps, block_r: int, block_c: int,
+            win_r: int, win_c: int, nn: int, nr: int, nc: int):
     n = pl.program_id(0)
     i = pl.program_id(1)
-    # win_r = block_r + 2r rounded up to the (8,128) sublane tiling — VMEM
-    # slices must be 8-row aligned; rows past block_r + 2r are padding.
-    pltpu.make_async_copy(
-        x_ref.at[n, pl.ds(i * block_r, win_r), :],
-        win_ref, sem).start()
-    pltpu.make_async_copy(
-        x_ref.at[n, pl.ds(i * block_r, win_r), :],
-        win_ref, sem).wait()
-    win = win_ref[...]
+    j = pl.program_id(2)
+    t = (n * nr + i) * nc + j
+    total = nn * nr * nc
+    slot = jax.lax.rem(t, 2)
+
+    def copy(slot_idx, n_, i_, j_):
+        return pltpu.make_async_copy(
+            x_ref.at[n_, pl.ds(i_ * block_r, win_r),
+                     pl.ds(j_ * block_c, win_c)],
+            win_ref.at[slot_idx], sem.at[slot_idx])
+
+    @pl.when(t == 0)
+    def _start_first():
+        copy(slot, n, i, j).start()
+
+    @pl.when(t + 1 < total)
+    def _prefetch_next():
+        tn = t + 1
+        nnext = tn // (nr * nc)
+        rem = tn % (nr * nc)
+        copy(1 - slot, nnext, rem // nc, rem % nc).start()
+
+    copy(slot, n, i, j).wait()
+    win = win_ref[slot]
     rows = None
-    for t, kt in enumerate(taps):           # rows pass (same order as jnp)
-        term = kt * win[t:t + block_r, :]
+    for k, kt in enumerate(taps):            # rows pass (same order as jnp)
+        term = kt * win[k:k + block_r, :]
         rows = term if rows is None else rows + term
     out = None
-    for t, kt in enumerate(taps):           # cols pass
-        term = kt * rows[:, t:t + w_out]
+    for k, kt in enumerate(taps):            # cols pass
+        term = kt * rows[:, k:k + block_c]
         out = term if out is None else out + term
     o_ref[0] = out
 
@@ -73,26 +95,31 @@ def gaussian_blur_pallas(img, ksize: int, sigma: float):
     taps = [float(v) for v in gaussian_kernel1d(ksize, sigma)]
 
     block_r = min(_BLOCK_R, -(-H // 8) * 8)
+    block_c = min(_BLOCK_C, -(-W // 128) * 128)
     nr = pl.cdiv(H, block_r)
-    Wo = -(-W // 128) * 128
-    Wi = -(-(Wo + 2 * r) // 128) * 128
-    win_r = -(-(block_r + 2 * r) // 8) * 8      # 8-row aligned DMA window
-    Hp = (nr - 1) * block_r + win_r             # last window stays in bounds
+    nc = pl.cdiv(W, block_c)
+    win_r = -(-(block_r + 2 * r) // 8) * 8       # 8-row aligned DMA window
+    win_c = -(-(block_c + 2 * r) // 128) * 128   # 128-lane aligned
+    Hp = (nr - 1) * block_r + win_r              # last window stays in bounds
+    Wp = (nc - 1) * block_c + win_c
 
     xp = jnp.pad(x, [(0, 0), (r, r), (r, r)], mode="reflect")
-    xp = jnp.pad(xp, [(0, 0), (0, Hp - xp.shape[1]), (0, Wi - xp.shape[2])])
+    xp = jnp.pad(xp, [(0, 0), (0, Hp - xp.shape[1]), (0, Wp - xp.shape[2])])
 
     out = pl.pallas_call(
-        functools.partial(_kernel, taps=taps, r=r, block_r=block_r, w_out=Wo,
-                          win_r=win_r),
-        grid=(N, nr),
+        functools.partial(_kernel, taps=taps, block_r=block_r,
+                          block_c=block_c, win_r=win_r, win_c=win_c,
+                          nn=N, nr=nr, nc=nc),
+        grid=(N, nr, nc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((1, block_r, Wo), lambda n, i: (n, i, 0),
+        out_specs=pl.BlockSpec((1, block_r, block_c),
+                               lambda n, i, j: (n, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, nr * block_r, Wo), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, nr * block_r, nc * block_c),
+                                       jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((win_r, Wi), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.VMEM((2, win_r, win_c), jnp.float32),  # double-buffered
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),

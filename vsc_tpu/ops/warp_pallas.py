@@ -99,13 +99,15 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
 
 
 def _auto_block_rows(width: int, pad: int) -> int:
-    """Largest row-block that keeps the kernel's VMEM footprint comfortable:
-    ~4 padded input planes + 10 output planes + ~10 loop temporaries, times
-    the pipeline's double buffering of ins/outs. Bigger blocks amortize the
-    per-grid-cell dispatch overhead that dominated at 8 rows (810 cells for
-    a supersampled 1080p batch-2 frame pair: ~20 ms of pure overhead)."""
+    """Row-block size: bigger blocks amortize per-grid-cell dispatch
+    overhead (810 cells for a supersampled 1080p batch-2 pair at 8 rows:
+    ~20 ms of pure overhead), but Mosaic compile time scales with
+    rows x width x loop-iterations — 64-row blocks at production widths
+    push the unrolled shift loop past 10^6 vector ops and LLVM takes tens
+    of minutes. 16 rows halves the 8-row overhead at 2x the round-1 IR;
+    also bounded by a VMEM budget for narrow inputs."""
     budget = 72 * 1024 * 1024
-    for rows in (64, 32, 16, 8):
+    for rows in (16, 8):
         per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
         if rows * per_row <= budget:
             return rows
