@@ -98,6 +98,18 @@ def build_workload():
     frame = (frame * 255).astype(np.uint8)
     frames = jnp.asarray(np.broadcast_to(frame, (batch, H, W, 3)).copy())
 
+    # The depth map the SBS stage is TIMED on: smooth scene-like structure
+    # (depth plane + blocks), the statistics a real DepthPro map has. The
+    # depth stage above still times the real model on `frames`; its output
+    # is NOT used here because random-init weights produce noise depth,
+    # which turns every pixel into a disocclusion — a worst case no actual
+    # video exhibits (same rationale as the frame content; the SSIM quality
+    # gates in tests/test_ssim_realistic.py use this same content class).
+    d = 0.45 + 0.35 * np.sin(xx / 311.0) * np.cos(yy / 173.0) + blocks * 0.15
+    depth_real = (np.clip(d, 0, 1) * 255).astype(np.uint8)
+    depth_sbs = jnp.asarray(
+        np.broadcast_to(depth_real, (batch, H, W)).copy())
+
     if cfg is not None:
         model = DepthPro(cfg)
         params = meta.unbox(model.init(
@@ -135,14 +147,14 @@ def build_workload():
     def run_sbs(frames_u8, depth_u8):
         return generate_sbs(frames_u8, depth_u8, sbs_params)
 
-    return frames, run_depth, run_sbs, batch
+    return frames, depth_sbs, run_depth, run_sbs, batch
 
 
 def main() -> None:
     import jax
     import numpy as np
 
-    frames, run_depth, run_sbs, batch = build_workload()
+    frames, depth_sbs, run_depth, run_sbs, batch = build_workload()
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
     from vsc_tpu.utils.jax_setup import sync  # host-transfer barrier
@@ -150,8 +162,8 @@ def main() -> None:
 
     # warm-up / compile
     depth = run_depth(frames)
-    sbs = run_sbs(frames, depth)
-    sync(sbs)
+    sbs = run_sbs(frames, depth_sbs)
+    sync((depth, sbs))
 
     t0 = time.perf_counter()
     for _ in range(iters):
@@ -161,7 +173,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     for _ in range(iters):
-        sbs = run_sbs(frames, depth)
+        sbs = run_sbs(frames, depth_sbs)
     sync(sbs)
     t_sbs = time.perf_counter() - t0
 
@@ -187,7 +199,8 @@ def main() -> None:
             "sbs_ms_per_frame": round(1000.0 * t_sbs / n, 1),
             "depth_mfu_pct": mfu,
             "stereo_params": "reference defaults",
-            "content": "synthetic-realistic (smooth+edges+texture)",
+            "content": "synthetic-realistic frames + scene-like depth "
+                       "(smooth+edges+texture)",
         },
     }
     print(json.dumps(result))

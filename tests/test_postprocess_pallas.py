@@ -11,8 +11,14 @@ from vsc_tpu.ops.postprocess_pallas import postprocess_eye_pallas
 
 
 def _jnp_reference(warped, valid, smoothing):
+    from vsc_tpu.ops.inpaint import _upsample_nearest
     img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
-    smooth = _pyramid_fill(img_u8, valid[..., None])
+    # production-path estimate: quarter-res pyramid (the kernel consumes it
+    # at quarter res and expands 4x-nearest on-chip; the jnp path upsamples
+    # here — both see identical values)
+    smooth_q = _pyramid_fill(img_u8, valid[..., None], coarse_factor=4,
+                             return_coarse=True)
+    smooth = _upsample_nearest(smooth_q, warped.shape[1], warped.shape[2], 4)
     hole = dilate3x3(1.0 - valid)
     x = warped
     if smoothing > 0:
@@ -21,7 +27,7 @@ def _jnp_reference(warped, valid, smoothing):
     img_u8b = jnp.floor(jnp.clip(x, 0.0, 255.0))
     filled = pyramid_inpaint(img_u8b, hole, interior=smooth)
     return np.asarray(jnp.round(jnp.clip(filled, 0.0, 255.0))), \
-        np.asarray(smooth)
+        np.asarray(smooth_q)
 
 
 def _inputs(b=1, h=48, w=640, seed=0, hole_frac=0.06):

@@ -173,7 +173,13 @@ class ConvT2x2(nn.Module):
     learned 2x upsample. The kernel parameter is stored [2, 2, in, out]
     (torch's [in, out, 2, 2] transposed at conversion); the op is a regular
     conv over the 2x-dilated input with the kernel spatially flipped, which
-    XLA lowers to the (heavily optimized) conv backward-data path."""
+    XLA lowers to the conv backward-data path.
+
+    NOTE: a matmul + depth-to-space reformulation (each output pixel
+    depends on exactly ONE input pixel) measures ~2x faster standalone
+    (scripts/profile_deconv.py) but 1.5-2x SLOWER in the full model — the
+    [B,H,W,2,2,O] interleave temporaries defeat XLA's fusion of the
+    surrounding convs. Measured both ways on v5e; keep the conv form."""
     features: int
     use_bias: bool = False
     dtype: Any = jnp.float32

@@ -56,15 +56,15 @@ _POLISH_RADIUS = 3
 _FILL_OFFS = _disc(_FILL_RADIUS)
 _POLISH_OFFS = _disc(_POLISH_RADIUS)
 
-# Block geometry: at 64x256 a supersampled 1080p eye was 1224 grid cells,
-# and with the manual (non-pipelined) halo DMAs each cell serialized ~25 us
-# of DMA latency + dispatch overhead — the whole stage was overhead-bound
-# (~34 ms/eye measured with sparse holes). 128x512 cuts it to ~312 cells
-# AND the kernel prefetches the next cell's window during compute (double-
-# buffered halo DMA), so the remaining per-cell DMA is overlapped, not
-# serialized. Bigger blocks (256x1024) OOM vmem: the stencil chain keeps
-# ~100 live block temporaries and the register allocator spilled 137 MB.
-BLOCK_R = 128
+# Block geometry: the fill/polish chain only runs for blocks that contain
+# holes (disocclusions are thin curves along depth edges), so SMALL blocks
+# predicate better — 64 rows halves the cost a hole-crossed block pays vs
+# 128. Per-cell DMA is overlapped by the double-buffered prefetch, and the
+# ~1 us/cell scalar branch is negligible at ~600 cells/eye. BLOCK_C stays
+# 512: the quarter-res smooth window start (BLOCK_C/4 per cell) must stay
+# 128-lane aligned. Bigger blocks (256x1024) OOM vmem: the stencil chain
+# keeps ~100 live block temporaries (137 MB of register spills).
+BLOCK_R = 64
 BLOCK_C = 512
 
 
@@ -86,11 +86,16 @@ def _shift(a, dy: int, dx: int):
 
 
 def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
-            out_ref, win_ref, sem,
+            out_ref, win_ref, qwin_ref, sem, qsem,
             *, halo_r: int, halo_c: int, smoothing: float, sweeps: int,
-            polish: int, sigma_color: float, nb: int, nr: int, nc: int):
+            polish: int, sigma_color: float, nb: int, nr: int, nc: int,
+            qwin_r: int, qwin_c: int):
     """Grid: (B, nr, nc). Inputs are [B, Hp, Wp] HBM planes (stacked as a
-    leading axis: imgs/smooth carry 3 channel-planes each).
+    leading axis: imgs carries 3 channel-planes). `smooth_ref` holds the
+    QUARTER-resolution interior estimate (3 planes): the kernel DMAs the
+    quarter window and, only inside the fill branch, expands it 4x nearest
+    via two 0/1 expansion matmuls (MXU, exact) — a full-res smooth plane
+    never exists in HBM.
 
     The halo windows are DOUBLE-BUFFERED: scratch persists across grid
     steps, so each cell starts the DMA for the NEXT cell's window into the
@@ -120,8 +125,9 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             win_ref.at[slot_idx, 4], sem.at[slot_idx, 4]))
         for k in range(3):
             cs.append(pltpu.make_async_copy(
-                smooth_ref.at[k, bb, pl.ds(r0, WR), pl.ds(c0, WC)],
-                win_ref.at[slot_idx, 5 + k], sem.at[slot_idx, 5 + k]))
+                smooth_ref.at[k, bb, pl.ds(ii * (BLOCK_R // 4), qwin_r),
+                              pl.ds(jj * (BLOCK_C // 4), qwin_c)],
+                qwin_ref.at[slot_idx, k], qsem.at[slot_idx, k]))
         return cs
 
     @pl.when(t == 0)
@@ -144,7 +150,22 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
              for k in range(3)]
     valid = win_ref[slot, 3]
     inimg = win_ref[slot, 4]
-    smooth = [win_ref[slot, 5 + k] for k in range(3)]
+
+    def smooth_plane(k):
+        """Quarter window -> full-res window, nearest (u -> u//4), as
+        ER @ q @ EC with 0/1 matrices — exact, and only paid when the
+        block actually has holes."""
+        q = qwin_ref[slot, k]                                # [qwin_r, qwin_c]
+        ro = jax.lax.broadcasted_iota(jnp.int32, (WR, qwin_r), 0)
+        rj = jax.lax.broadcasted_iota(jnp.int32, (WR, qwin_r), 1)
+        er = (rj == ro // 4).astype(jnp.float32)             # [WR, qwin_r]
+        cq = jax.lax.broadcasted_iota(jnp.int32, (qwin_c, WC), 0)
+        cu = jax.lax.broadcasted_iota(jnp.int32, (qwin_c, WC), 1)
+        ec = (cq == cu // 4).astype(jnp.float32)             # [qwin_c, WC]
+        rows = jax.lax.dot_general(er, q, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+        return jax.lax.dot_general(rows, ec, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
 
     # ---- bilateral (cv2 weight laws), skipped when smoothing == 0
     if smoothing > 0:
@@ -216,7 +237,7 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
 
         # unreached interior -> smooth estimate; exact pixels restored
         for k in range(3):
-            filled = jnp.where(known > 0, val[k], smooth[k])
+            filled = jnp.where(known > 0, val[k], smooth_plane(k))
             val[k] = jnp.where(keep > 0, chans[k], filled)
 
         # ---- polish: inverse-distance re-average over the radius-3 disc
@@ -252,25 +273,36 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
 
 @functools.partial(jax.jit,
                    static_argnames=("smoothing", "sweeps", "polish"))
-def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
-                           sweeps: int = 5, polish: int = 2):
+def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
+                           sweeps: int = 4, polish: int = 1):
     """Fused equivalent of ops.stereo's bilateral+inpaint postprocess.
 
     Args:
       warped: [B, H, W, 3] float32 (u8-valued) warped eye.
       valid_mask: [B, H, W] float32, 1 where a source pixel landed.
-      smooth: [B, H, W, 3] float32 interior estimate (masked pyramid fill).
+      smooth_q: [B, ~H/4, ~W/4, 3] float32 QUARTER-res interior estimate
+        (ops.inpaint._pyramid_fill(..., coarse_factor=4, return_coarse=True));
+        expanded 4x-nearest on-chip, so dims just need to cover (H-1)//4,
+        (W-1)//4.
       smoothing: StereoParams.artifact_smoothing (static).
 
     Returns: [B, H, W, 3] float32 u8-valued postprocessed eye.
     """
     B, H, W, C = warped.shape
     assert C == 3
+    assert smooth_q.shape[1] > (H - 1) // 4 and smooth_q.shape[2] > (W - 1) // 4
     halo_r, halo_c = _halo_for(smoothing, sweeps, polish)
     nr = pl.cdiv(H, BLOCK_R)
     nc = pl.cdiv(W, BLOCK_C)
     Hp = nr * BLOCK_R + 2 * halo_r
     Wp = nc * BLOCK_C + 2 * halo_c
+    WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
+    # quarter-plane geometry (halo_r % 4 == 0 and halo_c % 64 == 0 by
+    # construction, so every full-res window maps to an aligned quarter one)
+    qwin_r = -(-(WR // 4) // 8) * 8
+    qwin_c = -(-(WC // 4) // 128) * 128
+    Hq_p = (nr - 1) * (BLOCK_R // 4) + qwin_r
+    Wq_p = (nc - 1) * (BLOCK_C // 4) + qwin_c
 
     def pad_plane(x, mode, value=0.0):
         # reflect-101 needs halo < dim; our shapes are far larger
@@ -285,16 +317,21 @@ def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
             x, [(0, 0), (0, Hp - x.shape[1]), (0, Wp - x.shape[2])],
             constant_values=value)
 
+    def pad_qplane(x):
+        x = jnp.pad(x, [(0, 0), (halo_r // 4, 0), (halo_c // 4, 0)])
+        x = jnp.pad(x, [(0, 0), (0, max(0, Hq_p - x.shape[1])),
+                        (0, max(0, Wq_p - x.shape[2]))])
+        return x[:, :Hq_p, :Wq_p]
+
     imgs = jnp.stack([pad_plane(warped[..., k], "reflect") for k in range(3)])
     valid = pad_plane(valid_mask, "zero")
     inimg = pad_plane(jnp.ones((B, H, W), jnp.float32), "zero")
-    smooth_p = jnp.stack([pad_plane(smooth[..., k], "zero") for k in range(3)])
+    smooth_p = jnp.stack([pad_qplane(smooth_q[..., k]) for k in range(3)])
 
-    WR, WC = BLOCK_R + 2 * halo_r, BLOCK_C + 2 * halo_c
     kernel = functools.partial(
         _kernel, halo_r=halo_r, halo_c=halo_c, smoothing=smoothing,
         sweeps=sweeps, polish=polish, sigma_color=30.0,
-        nb=B, nr=nr, nc=nc)
+        nb=B, nr=nr, nc=nc, qwin_r=qwin_r, qwin_c=qwin_c)
 
     hbm = pl.BlockSpec(memory_space=pltpu.ANY)
     out = pl.pallas_call(
@@ -307,8 +344,10 @@ def postprocess_eye_pallas(warped, valid_mask, smooth, smoothing: float,
         out_shape=jax.ShapeDtypeStruct((3, B, nr * BLOCK_R, nc * BLOCK_C),
                                        jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, 8, WR, WC), jnp.float32),   # double-buffered halos
-            pltpu.SemaphoreType.DMA((2, 8)),
+            pltpu.VMEM((2, 5, WR, WC), jnp.float32),   # double-buffered halos
+            pltpu.VMEM((2, 3, qwin_r, qwin_c), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 5)),
+            pltpu.SemaphoreType.DMA((2, 3)),
         ],
         # the unrolled stencil chain keeps ~80 block-sized temporaries live;
         # the default 16M scoped-vmem limit is too small (v5e has 128M)

@@ -122,19 +122,23 @@ def _postprocess_eye(warped, valid_mask, artifact_smoothing: float):
     not just in holes) gets amplified by the downstream unsharp mask and
     drops composite SSIM below the parity gates."""
     import jax.numpy as jnp
-    from vsc_tpu.ops.inpaint import _pyramid_fill
+    from vsc_tpu.ops.inpaint import _pyramid_fill, _upsample_nearest
 
     img_u8 = jnp.floor(jnp.clip(warped, 0.0, 255.0))
     # quarter-res pyramid: the estimate only serves hole interiors beyond
-    # the frontier sweeps' reach, which are inherently smooth
-    smooth = _pyramid_fill(img_u8, valid_mask[..., None], coarse_factor=4)
+    # the frontier sweeps' reach, which are inherently smooth. The fused
+    # kernel consumes it AT quarter res (expanding on-chip); the jnp path
+    # upsamples to full res here.
+    smooth_q = _pyramid_fill(img_u8, valid_mask[..., None], coarse_factor=4,
+                             return_coarse=True)
 
     choice = os.environ.get("VSC_TPU_POSTPROCESS")
     if choice != "jnp" and (choice == "pallas"
                             or jax.default_backend() == "tpu"):
         from vsc_tpu.ops.postprocess_pallas import postprocess_eye_pallas
-        return postprocess_eye_pallas(warped, valid_mask, smooth,
+        return postprocess_eye_pallas(warped, valid_mask, smooth_q,
                                       artifact_smoothing)
+    smooth = _upsample_nearest(smooth_q, warped.shape[1], warped.shape[2], 4)
 
     hole = dilate3x3(1.0 - valid_mask)  # stereo_core.py:455-456
 

@@ -49,7 +49,8 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     neg_inf = jnp.float32(-jnp.inf)
     shape = (disp.shape[0], W)
 
-    def run_eye(sign, s_lo, s_hi):
+    def run_eye(sign, s_lo, s_hi, refs):
+        key_ref, w_ref, r_ref_o, g_ref_o, b_ref_o = refs
         # Loop-invariant planes, computed ONCE per block per eye: the shift
         # loop below then only slices + compares (the floor/frac/mul chain
         # used to run inside every one of the ~D iterations).
@@ -59,43 +60,50 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         # depth key in [0, 1]: |disp| / max_disp (sign * sign == 1)
         z_all = d_signed * (sign * inv_max_disp)
         ceil_ok = frac_all > 0.3
-        best = (jnp.full(shape, neg_inf, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32),
-                jnp.zeros(shape, jnp.float32))
-        for s in range(s_lo, s_hi):
-            lo = P - s
-            sl = (slice(None), slice(lo, lo + W))
-            k = k_all[sl]
-            frac = frac_all[sl]
-            z_s = z_all[sl]
-            is_floor = k == s
-            is_ceil = (k == s - 1) & ceil_ok[sl]
-            key = jnp.where(is_ceil, 2.0 + z_s,
-                            jnp.where(is_floor, z_s, neg_inf))
-            wgt = jnp.where(is_ceil, frac, 1.0 - frac)
-            take = key > best[0]
-            best = (jnp.where(take, key, best[0]),
-                    jnp.where(take, wgt, best[1]),
-                    jnp.where(take, red[sl], best[2]),
-                    jnp.where(take, green[sl], best[3]),
-                    jnp.where(take, blue[sl], best[4]))
-        return best
+        # Block disparity range (sentinel-padded columns excluded): shifts
+        # outside [min_k, max_k + 1] cannot produce a floor or ceil hit
+        # anywhere in this block, so their whole iteration body is
+        # predicated out. Real depth maps are locally smooth (and gamma
+        # compresses the range), so most of the ~D iterations skip.
+        in_img = jnp.abs(k_all) < 2.0e4
+        m_lo = jnp.min(jnp.where(in_img, k_all, jnp.float32(1e9)))
+        m_hi = jnp.max(jnp.where(in_img, k_all, jnp.float32(-1e9)))
 
-    lk, lw, lr, lg, lb = run_eye(1.0, 0, D + 2)
-    lkey_ref[...] = lk
-    lw_ref[...] = lw
-    lr_ref[...] = lr
-    lg_ref[...] = lg
-    lb_ref[...] = lb
+        key_ref[...] = jnp.full(shape, neg_inf, jnp.float32)
+        w_ref[...] = jnp.zeros(shape, jnp.float32)
+        r_ref_o[...] = jnp.zeros(shape, jnp.float32)
+        g_ref_o[...] = jnp.zeros(shape, jnp.float32)
+        b_ref_o[...] = jnp.zeros(shape, jnp.float32)
+        # Predicate GROUPS of shifts, not single ones: the scalar-core
+        # branch chain itself costs ~0.1 us/iteration/cell, which at ~600
+        # iterations x ~400 cells would eat the entire predication win.
+        GRP = 8
+        for g in range(s_lo, s_hi, GRP):
+            g_hi = min(g + GRP, s_hi)
 
-    rk, rw, rr, rg, rb = run_eye(-1.0, -D, 2)
-    rkey_ref[...] = rk
-    rw_ref[...] = rw
-    rr_ref[...] = rr
-    rg_ref[...] = rg
-    rb_ref[...] = rb
+            @pl.when((jnp.float32(g_hi - 1) >= m_lo)
+                     & (jnp.float32(g) <= m_hi + 1))
+            def _group(g=g, g_hi=g_hi):
+                for s in range(g, g_hi):
+                    lo = P - s
+                    sl = (slice(None), slice(lo, lo + W))
+                    k = k_all[sl]
+                    frac = frac_all[sl]
+                    z_s = z_all[sl]
+                    is_floor = k == s
+                    is_ceil = (k == s - 1) & ceil_ok[sl]
+                    key = jnp.where(is_ceil, 2.0 + z_s,
+                                    jnp.where(is_floor, z_s, neg_inf))
+                    wgt = jnp.where(is_ceil, frac, 1.0 - frac)
+                    take = key > key_ref[...]
+                    key_ref[...] = jnp.where(take, key, key_ref[...])
+                    w_ref[...] = jnp.where(take, wgt, w_ref[...])
+                    r_ref_o[...] = jnp.where(take, red[sl], r_ref_o[...])
+                    g_ref_o[...] = jnp.where(take, green[sl], g_ref_o[...])
+                    b_ref_o[...] = jnp.where(take, blue[sl], b_ref_o[...])
+
+    run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref))
+    run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref))
 
 
 def _auto_block_rows(width: int, pad: int) -> int:
