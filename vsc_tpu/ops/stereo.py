@@ -222,13 +222,15 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     eyes_mask = jnp.stack([left_mask, right_mask])
     eye_offsets = jnp.asarray([lo, ro], jnp.int32)
 
-    # Opt-in (VSC_TPU_FINISH=pallas): the fused crop+unsharp+box kernel
-    # measured performance-neutral end-to-end on v5e (XLA already fuses
-    # these stages well), so the simpler jnp path stays the default.
+    # Fused unsharp+box-downscale kernel (ops/finish_pallas.py): TPU default
+    # for integer supersampling ratios (measured -9 ms/frame at 1080p
+    # defaults once it processed all 3 channels per cell with prefetched
+    # halo DMA; the round-1 per-channel serial-DMA version was neutral).
+    # VSC_TPU_FINISH=jnp opts out.
     ratio = s["scale_ratio"]
     fused_finish = (params.super_sampling > 1.0
                     and float(ratio).is_integer()
-                    and os.environ.get("VSC_TPU_FINISH") == "pallas"
+                    and os.environ.get("VSC_TPU_FINISH") != "jnp"
                     and jax.default_backend() == "tpu")
 
     def eye_body(args):
@@ -236,13 +238,11 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         img = _postprocess_eye(img, msk, params.artifact_smoothing)
         img = jax.lax.dynamic_slice_in_dim(img, off, crop_w, axis=2)
         if fused_finish:
-            # crop already applied, so the kernel's offsets are static and
-            # its reflect borders match the jnp path exactly
+            # crop already applied, so the kernel's reflect borders match
+            # the jnp path exactly
             from vsc_tpu.ops.finish_pallas import sharpen_downscale
-            planes = [sharpen_downscale(img[..., c], int(ratio),
-                                        float(params.sharpen), 0, 0, H, W)
-                      for c in range(3)]
-            return jnp.stack(planes, axis=-1)
+            return sharpen_downscale(img, int(ratio), float(params.sharpen),
+                                     H, W)
         if params.sharpen > 0:
             img = unsharp_mask(img, params.sharpen)
         if params.super_sampling > 1.0:
