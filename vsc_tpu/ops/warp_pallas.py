@@ -77,6 +77,10 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         # Predicate GROUPS of shifts, not single ones: the scalar-core
         # branch chain itself costs ~0.1 us/iteration/cell, which at ~600
         # iterations x ~400 cells would eat the entire predication win.
+        # WITHIN a group the running best is carried as VALUES (registers);
+        # the output refs are only read/written at group boundaries —
+        # per-iteration ref round-trips measured as the kernel's dominant
+        # cost (10 VMEM plane touches per shift).
         GRP = 8
         for g in range(s_lo, s_hi, GRP):
             g_hi = min(g + GRP, s_hi)
@@ -84,6 +88,8 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
             @pl.when((jnp.float32(g_hi - 1) >= m_lo)
                      & (jnp.float32(g) <= m_hi + 1))
             def _group(g=g, g_hi=g_hi):
+                best = (key_ref[...], w_ref[...], r_ref_o[...],
+                        g_ref_o[...], b_ref_o[...])
                 for s in range(g, g_hi):
                     lo = P - s
                     sl = (slice(None), slice(lo, lo + W))
@@ -95,12 +101,17 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                     key = jnp.where(is_ceil, 2.0 + z_s,
                                     jnp.where(is_floor, z_s, neg_inf))
                     wgt = jnp.where(is_ceil, frac, 1.0 - frac)
-                    take = key > key_ref[...]
-                    key_ref[...] = jnp.where(take, key, key_ref[...])
-                    w_ref[...] = jnp.where(take, wgt, w_ref[...])
-                    r_ref_o[...] = jnp.where(take, red[sl], r_ref_o[...])
-                    g_ref_o[...] = jnp.where(take, green[sl], g_ref_o[...])
-                    b_ref_o[...] = jnp.where(take, blue[sl], b_ref_o[...])
+                    take = key > best[0]
+                    best = (jnp.where(take, key, best[0]),
+                            jnp.where(take, wgt, best[1]),
+                            jnp.where(take, red[sl], best[2]),
+                            jnp.where(take, green[sl], best[3]),
+                            jnp.where(take, blue[sl], best[4]))
+                key_ref[...] = best[0]
+                w_ref[...] = best[1]
+                r_ref_o[...] = best[2]
+                g_ref_o[...] = best[3]
+                b_ref_o[...] = best[4]
 
     run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref))
     run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref))
@@ -115,7 +126,7 @@ def _auto_block_rows(width: int, pad: int) -> int:
     of minutes. 16 rows halves the 8-row overhead at 2x the round-1 IR;
     also bounded by a VMEM budget for narrow inputs."""
     budget = 72 * 1024 * 1024
-    for rows in (16, 8):
+    for rows in (24, 16, 8):
         per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
         if rows * per_row <= budget:
             return rows
@@ -167,6 +178,9 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
         in_specs=[in_spec] * 4,
         out_specs=[out_spec] * 10,
         out_shape=out_shape,
+        # 24-row blocks exceed the default 16M scoped-vmem stack limit
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         # CPU (tests / virtual meshes) has no Mosaic backend
         interpret=jax.default_backend() != "tpu",
     )(disp_p, *planes_p)
