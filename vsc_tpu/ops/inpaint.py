@@ -43,10 +43,12 @@ def _disc(radius: int):
 # round 1); the polish re-average uses cv2.inpaint's radius-3 neighborhood
 # (stereo_core.py:457). Measured vs cv2 Telea on worst-case noise: this
 # split reaches the same ~2-code-value hole residual as radius-3 sweeps at
-# ~60% of the VPU work. Defaults sweeps=4/polish=1: measured SSIM vs the
-# oracle on both realistic and noise content is slightly HIGHER than the
-# round-1 5/2 (a second polish pass over-smooths relative to Telea), at
-# ~35 ms/frame less VPU work in the fused kernel at 1080p defaults.
+# ~60% of the VPU work. Defaults sweeps=3/polish=1: measured SSIM vs the
+# oracle on realistic, noise, AND supersampled-geometry content is equal or
+# slightly HIGHER than the round-1 5/2 (a second polish pass over-smooths
+# relative to Telea; interiors beyond the sweep reach are handled by the
+# pyramid estimate identically), at ~45 ms/frame less VPU work in the
+# fused kernel at 1080p defaults.
 _RADIUS = 2
 _POLISH_RADIUS = 3
 _OFFSETS = _disc(_RADIUS)
@@ -145,7 +147,7 @@ def _frontier_sweep(val, known):
     return new_val, new_known
 
 
-def pyramid_inpaint(image, hole_mask, sweeps: int = 4, polish: int = 1,
+def pyramid_inpaint(image, hole_mask, sweeps: int = 3, polish: int = 1,
                     interior=None):
     """Fill holes in a batched image, Telea-like.
 

@@ -274,7 +274,7 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
 @functools.partial(jax.jit,
                    static_argnames=("smoothing", "sweeps", "polish"))
 def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
-                           sweeps: int = 4, polish: int = 1):
+                           sweeps: int = 3, polish: int = 1):
     """Fused equivalent of ops.stereo's bilateral+inpaint postprocess.
 
     Args:
