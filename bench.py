@@ -58,7 +58,7 @@ def build_workload():
 
     H, W = 1080, 1920
     model_kind = os.environ.get("BENCH_DEPTH", "full")
-    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    batch = int(os.environ.get("BENCH_BATCH", "8"))
 
     # bf16 compute for the ViT: the MXU's native inference precision
     # (params stay f32; depth output is min-max normalized so relative
