@@ -233,7 +233,9 @@ def main(argv=None) -> int:
         description="Streaming video->stereo conversion (no PNG intermediates)")
     parser.add_argument("workflow_path", type=Path)
     parser.add_argument("--cpu", action="store_true")
-    parser.add_argument("--batch-size", type=int, default=4)
+    # batch 8 measured best depth MFU on v5e (62.9% vs 60.6% at 4); SBS is
+    # batch-insensitive, HBM fits at 1080p supersampled
+    parser.add_argument("--batch-size", type=int, default=8)
     parser.add_argument("--chunk-size", type=int, default=1500)
     parser.add_argument("--model", choices=("depthpro", "stub"), default=None)
     parser.add_argument("--input-size", type=int, default=1536)
