@@ -1,5 +1,6 @@
 """Pallas warp kernel vs the jnp reference implementation (exact match)."""
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -33,3 +34,15 @@ def test_pallas_ragged_rows():
     got = forward_warp_stereo_pallas(img, depth, 5.0, block_rows=8)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)
+
+
+def test_planar_variant_matches_channel_last():
+    from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas_planar
+    rng = np.random.default_rng(4)
+    rgb = rng.uniform(0, 255, (2, 24, 80, 3)).astype(np.float32)
+    depth = rng.uniform(0, 1, (2, 24, 80)).astype(np.float32)
+    a = forward_warp_stereo_pallas(jnp.asarray(rgb), jnp.asarray(depth), 7.0)
+    b = forward_warp_stereo_pallas_planar(
+        jnp.asarray(np.moveaxis(rgb, -1, 1)), jnp.asarray(depth), 7.0)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

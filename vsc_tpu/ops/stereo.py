@@ -193,11 +193,24 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     # 2. normalize
     depth_n = _normalize_depth(depth_st)
 
-    # 3. super-sampling
+    # 3. super-sampling. On the TPU/Pallas path the supersampled RGB stays
+    # channel-FIRST [B, 3, H', W']: the banded-matmul upsample kernel and
+    # the warp kernel both consume planes, so no channel-minor relayout of
+    # the 9x-supersampled tensor ever happens (the channel-last moveaxis
+    # at these shapes costs more than the upsample itself).
+    planar = (params.super_sampling > 1.0
+              and os.environ.get("VSC_TPU_WARP") != "jnp"
+              and jax.default_backend() == "tpu")
+    rgb_cf = None
     if params.super_sampling > 1.0:
         depth_n = resize(depth_n, s["up_h"], s["up_w"], "bilinear")
-        rgb_st = resize(rgb_st, s["up_h"], s["up_w"], "bilinear",
-                        channel_last=True)
+        if planar:
+            import jax.numpy as _jnp
+            rgb_cf = resize(_jnp.moveaxis(rgb_st, -1, 1),
+                            s["up_h"], s["up_w"], "bilinear")
+        else:
+            rgb_st = resize(rgb_st, s["up_h"], s["up_w"], "bilinear",
+                            channel_last=True)
 
     # 4. edge softening
     if params.edge_softness > 0:
@@ -209,8 +222,13 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         depth_n = jnp.clip(depth_n, 0.001, 1.0) ** params.depth_gamma
 
     # 6. forward warp
-    left, left_mask, right, right_mask = _forward_warp(
-        rgb_st, depth_n, params.max_disparity)
+    if planar:
+        from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas_planar
+        left, left_mask, right, right_mask = forward_warp_stereo_pallas_planar(
+            rgb_cf, depth_n, params.max_disparity)
+    else:
+        left, left_mask, right, right_mask = _forward_warp(
+            rgb_st, depth_n, params.max_disparity)
 
     # 7-10. per-eye post-processing, crop, sharpen, downscale — run
     # SEQUENTIALLY per eye via lax.map so only one eye's full-resolution

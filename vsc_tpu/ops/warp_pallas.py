@@ -31,7 +31,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["forward_warp_stereo_pallas"]
+__all__ = ["forward_warp_stereo_pallas", "forward_warp_stereo_pallas_planar"]
 
 _SENTINEL = -3.0e4  # disparity sentinel for padded columns (floor != any s)
 
@@ -148,6 +148,25 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
     """
     B, H, W, C = image.shape
     assert C == 3, "pallas warp kernel expects RGB"
+    planes = [image[..., c] for c in range(3)]
+    return _warp_planes(planes, depth, max_disparity, block_rows)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
+def forward_warp_stereo_pallas_planar(image_cf, depth, max_disparity: float,
+                                      block_rows: int | None = None):
+    """Channel-FIRST variant: image_cf [B, 3, H, W]. Leading-dim channel
+    slices are free (the channel-last form pays a strided relayout per
+    plane), so this is the entry the planar supersample path uses."""
+    B, C, H, W = image_cf.shape
+    assert C == 3, "pallas warp kernel expects RGB"
+    planes = [image_cf[:, c] for c in range(3)]
+    return _warp_planes(planes, depth, max_disparity, block_rows)
+
+
+def _warp_planes(planes, depth, max_disparity: float,
+                 block_rows: int | None):
+    B, H, W = depth.shape
     D = int(math.floor(max_disparity)) + 1
     P = D + 2
     if block_rows is None:
@@ -156,7 +175,7 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
     disp = depth * max_disparity
     # fold batch into rows so one 2-D grid covers everything
     disp2 = disp.reshape(B * H, W)
-    planes = [image[..., c].reshape(B * H, W) for c in range(3)]
+    planes = [p.reshape(B * H, W) for p in planes]
 
     disp_p = jnp.pad(disp2, [(0, 0), (P, P)], constant_values=_SENTINEL)
     planes_p = [jnp.pad(pl_, [(0, 0), (P, P)]) for pl_ in planes]
