@@ -34,3 +34,21 @@ def test_fused_finish_ratio2_ragged_blocks():
     ref = _jnp_reference(img, ratio, 8.0, out_h, out_w)
     got = np.asarray(sharpen_downscale(img, ratio, 8.0, out_h, out_w))
     np.testing.assert_allclose(got, ref, atol=1e-2)
+
+
+def test_small_input_fallback():
+    # ADVICE r2: inputs narrower than 129 cols / shorter than 5 rows must not
+    # crash on the kernel's reflect pads — they take the jnp path.
+    import numpy as np
+
+    from vsc_tpu.ops.filters import unsharp_mask
+    from vsc_tpu.ops.finish_pallas import sharpen_downscale
+    from vsc_tpu.ops.resize import resize
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(0, 255, (1, 12, 24, 3)).astype(np.float32)
+    out = np.asarray(sharpen_downscale(img, 3, 1.5, 4, 8))
+    ref = np.asarray(resize(unsharp_mask(img, 1.5), 4, 8, "area",
+                            channel_last=True))
+    assert out.shape == (1, 4, 8, 3)
+    np.testing.assert_allclose(out, ref, atol=1e-4)

@@ -93,3 +93,65 @@ def test_stream_compute_is_sharded(workflow, test_video, monkeypatch):
     assert [c.name for c in chunks] == ["sbs_000001_000036.mkv"]
     info = probe_video(chunks[0])
     assert info["width"] == 384 and info["nb_frames"] == 36
+
+
+def test_hanging_dispatch_exits_100(workflow, test_video, monkeypatch):
+    """VERDICT r2 #7: a wedged device that hangs inside a dispatch must
+    surface the exit-100 accelerator-failure contract within the dispatch
+    deadline, not at the 1500-frame chunk boundary."""
+    import time
+
+    from vsc_tpu.parallel.health import ACCEL_ERROR_EXIT_CODE
+    from vsc_tpu.pipeline import depth_map_generator, stream_convert
+
+    def hanging_build_depth_fn(*a, **k):
+        def hang(rgb):
+            time.sleep(3600)
+        return hang
+
+    monkeypatch.setattr(depth_map_generator, "build_depth_fn",
+                        hanging_build_depth_fn)
+    monkeypatch.setattr(stream_convert, "DISPATCH_TIMEOUT", 2.0)
+    monkeypatch.setattr(stream_convert, "DISPATCH_COLD_TIMEOUT", 2.0)
+    config = load_config(workflow)
+    config["stereo"].update(FAST_STEREO)
+    config["encoding"] = {"crf": 30, "preset": "ultrafast"}
+    save_config(workflow, config)
+
+    start = time.monotonic()
+    with pytest.raises(stream_convert.AccelFailure):
+        stream_convert.run(workflow, config, batch_size=4, chunk_size=16,
+                           model_name="stub", input_size=96, concat=False)
+    assert time.monotonic() - start < 60
+    # and main() translates the failure into the orchestrator's exit code
+    rc = stream_convert.main([str(workflow), "--cpu", "--model", "stub",
+                              "--input-size", "96", "--no-concat"])
+    assert rc == ACCEL_ERROR_EXIT_CODE
+
+
+def test_mid_chunk_probe_cadence(workflow, test_video, monkeypatch):
+    """The known-answer probe fires mid-chunk roughly every
+    PROBE_EVERY_FRAMES frames, not only at chunk boundaries."""
+    from vsc_tpu.pipeline import stream_convert
+
+    calls = []
+    monkeypatch.setattr(stream_convert, "PROBE_EVERY_FRAMES", 8)
+    from vsc_tpu.parallel import health
+
+    real = health.check_accelerator_health
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    # run() imports the name at call time from parallel.health
+    monkeypatch.setattr(health, "check_accelerator_health", counting)
+    config = load_config(workflow)
+    config["stereo"].update(FAST_STEREO)
+    config["encoding"] = {"crf": 30, "preset": "ultrafast"}
+    save_config(workflow, config)
+    assert stream_convert.run(workflow, config, batch_size=4, chunk_size=36,
+                              model_name="stub", input_size=96, concat=False)
+    # 36 frames, one chunk: 1 chunk-start probe + mid-chunk probes every
+    # ceil(8/4)=2 batches -> at least 4 probes total
+    assert len(calls) >= 4

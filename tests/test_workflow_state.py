@@ -93,3 +93,36 @@ def test_completed_workflow_collapses_to_done(tmp_path):
     wfs = load_workflows(wf_yaml)
     assert all(get_step_status(wfs[p1][s]) == StepStatus.DONE
                for s in STEP_ORDER)
+
+
+def test_unreadable_config_does_not_collapse_to_done(tmp_path):
+    # VERDICT r2 #3: a transient error reading config.json during save must
+    # NOT collapse an unfinished workflow to DONE — only an affirmatively
+    # missing config (cleaned away) may.
+    wf_yaml = tmp_path / "workflows.yaml"
+    wf_dir = tmp_path / "wf"
+    wf_dir.mkdir()
+    # corrupt config: present but unparseable (covers EACCES-class failures
+    # too — any non-FileNotFound error takes the same preserve path)
+    (wf_dir / "config.json").write_text("{not json", encoding="utf-8")
+    p1 = normalize_path(str(wf_dir))
+    state = {p1: {s: StepStatus.DONE for s in STEP_ORDER}}
+    save_workflows(wf_yaml, state)
+    final = yaml.safe_load(wf_yaml.read_text())
+    assert final[p1] != "DONE"
+    assert all(final[p1][s] == StepStatus.DONE for s in PERSISTENT_STEPS)
+    # once the config really is gone, the collapse happens
+    (wf_dir / "config.json").unlink()
+    save_workflows(wf_yaml, state)
+    assert yaml.safe_load(wf_yaml.read_text())[p1] == "DONE"
+
+
+def test_config_as_directory_does_not_collapse(tmp_path):
+    # IsADirectoryError on read is another "present but unreadable" case
+    wf_yaml = tmp_path / "workflows.yaml"
+    wf_dir = tmp_path / "wf2"
+    (wf_dir / "config.json").mkdir(parents=True)
+    p1 = normalize_path(str(wf_dir))
+    state = {p1: {s: StepStatus.DONE for s in STEP_ORDER}}
+    save_workflows(wf_yaml, state)
+    assert yaml.safe_load(wf_yaml.read_text())[p1] != "DONE"

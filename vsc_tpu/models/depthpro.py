@@ -185,10 +185,14 @@ class ConvT2x2(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, *, kernel_only: bool = False):
         I = x.shape[-1]
         k = self.param("kernel", nn.initializers.lecun_normal(),
                        (2, 2, I, self.features), jnp.float32)
+        if kernel_only:
+            # expose the parameter for chain composition (ProjUpsample)
+            # without computing; x supplies only the channel count
+            return k
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k[::-1, ::-1].astype(self.dtype),
             window_strides=(1, 1), padding=((1, 1), (1, 1)),
@@ -210,9 +214,35 @@ def _conv(features, kernel, name, *, stride=1, use_bias=True,
                    dtype=dtype, param_dtype=jnp.float32, name=name)
 
 
+def _compose_deconv2x2(kernels):
+    """Compose a chain of bias-free 2x2/s2 ConvTranspose kernels (each
+    [2, 2, Cin, Cout]) into the single equivalent 2^n x 2^n / s2^n kernel.
+
+    Non-overlapping stride-2 deconvs are linear maps where out[2i+a, 2j+b]
+    depends on in[i, j] alone, so chaining k layers gives
+    out[2^k i + u, 2^k j + v] = in[i, j] @ K[u, v] with
+    K[2a+p, 2b+q] = sum_m A[a, b, :, m] B[p, q, m, :] — an exact algebraic
+    identity, applied at trace time (the per-layer parameters stay separate
+    so checkpoints map 1:1)."""
+    k = kernels[0]
+    for nxt in kernels[1:]:
+        f = k.shape[0]
+        # [f,f,C,M] x [2,2,M,O] -> [2f,2f,C,O] at index (2a+p, 2b+q)
+        k = jnp.einsum("abcm,pqmo->apbqco", k, nxt)
+        k = k.reshape(2 * f, 2 * f, k.shape[4], k.shape[5])
+    return k
+
+
 class ProjUpsample(nn.Module):
     """Apple's _create_project_upsample_block: 1x1 conv projection followed
-    by n_upsample ConvTranspose 2x2/s2 layers, all bias-free."""
+    by n_upsample ConvTranspose 2x2/s2 layers, all bias-free.
+
+    On TPU the deconv chain (no activations between layers) is applied as
+    its composed single 2^n-factor deconv: one [Cin, f*f*Cout] matmul per
+    input pixel + one depth-to-space, instead of n dilated convs with
+    full-resolution intermediates (the latent0 chain alone materializes
+    19/75/302 MB per frame at production shapes). VSC_TPU_FUSED_UPSAMPLE=0
+    opts out."""
     dim_out: int
     n_upsample: int
     dim_int: int | None = None
@@ -220,12 +250,34 @@ class ProjUpsample(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         dim_int = self.dim_int if self.dim_int is not None else self.dim_out
         x = _conv(dim_int, 1, "proj", use_bias=False, dtype=self.dtype)(x)
+        fuse = (self.n_upsample >= 2
+                and os.environ.get("VSC_TPU_FUSED_UPSAMPLE", "1") != "0")
+        if not fuse:
+            for i in range(self.n_upsample):
+                x = ConvT2x2(self.dim_out, use_bias=False, dtype=self.dtype,
+                             name=f"deconv{i}")(x)
+            return x
+        kernels = []
+        cin = x.shape[-1]
         for i in range(self.n_upsample):
-            x = ConvT2x2(self.dim_out, use_bias=False, dtype=self.dtype,
-                         name=f"deconv{i}")(x)
-        return x
+            mod = ConvT2x2(self.dim_out, use_bias=False, dtype=self.dtype,
+                           name=f"deconv{i}")
+            kernels.append(mod(jnp.zeros((1, 1, 1, cin), x.dtype),
+                               kernel_only=True))
+            cin = self.dim_out
+        kc = _compose_deconv2x2(kernels).astype(self.dtype)  # [f,f,C,O]
+        f = 2 ** self.n_upsample
+        B, H, W, C = x.shape
+        O = self.dim_out
+        w = kc.transpose(2, 0, 1, 3).reshape(C, f * f * O)   # [C, (u,v,O)]
+        y = jnp.einsum("bhwc,cd->bhwd", x, w,
+                       preferred_element_type=self.dtype)
+        y = y.reshape(B, H, W, f, f, O)
+        y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, O)
+        return y
 
 
 class PreActResidual(nn.Module):

@@ -74,20 +74,85 @@ def _dense(features, name, kernel_axes, cfg, use_bias=True):
     )
 
 
+class _LNParams(nn.Module):
+    """Declares LayerNorm parameters (same tree as nn.LayerNorm: scale,
+    bias) without applying the normalization — the affine is folded into the
+    following matmul by ``_folded_ln_dense``."""
+    dim: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones_init(),
+                           (self.dim,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.dim,), jnp.float32)
+        return scale, bias
+
+
+class _DenseParams(nn.Module):
+    """Declares Dense parameters (same tree/metadata as nn.Dense: kernel
+    with logical partitioning, plain bias) and returns them raw."""
+    features: int
+    kernel_axes: tuple
+
+    @nn.compact
+    def __call__(self, in_features: int):
+        kernel = self.param(
+            "kernel",
+            nn.with_logical_partitioning(nn.initializers.xavier_uniform(),
+                                         self.kernel_axes),
+            (in_features, self.features), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros_init(),
+                          (self.features,), jnp.float32)
+        return kernel, bias
+
+
+def _folded_ln_dense(x, ln_scale, ln_bias, kernel, bias, dtype,
+                     eps: float = 1e-6):
+    """LayerNorm followed by a Dense, with the LN folded into the matmul:
+
+        LN(x) @ W + b = inv o (x @ (gamma (.) W))
+                        - (inv * mu) o (gamma @ W) + (beta @ W + b)
+
+    (mu, inv = per-row stats of x; o = row broadcast). The matmul runs on
+    the RAW residual stream — no normalized copy of x is ever materialized
+    (the separate LN passes were ~8 ms/frame at production shapes, pure HBM
+    bandwidth). Stats are f32 like flax LayerNorm's; the epilogue is
+    elementwise on the matmul output, which XLA fuses into the dot."""
+    xf = x.astype(jnp.float32)
+    mu = jnp.mean(xf, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    inv = jax.lax.rsqrt(var + eps)
+    w_gamma = ln_scale[:, None] * kernel                  # f32 [D, F]
+    z = jnp.einsum("...c,cf->...f", x.astype(dtype), w_gamma.astype(dtype),
+                   preferred_element_type=jnp.float32)
+    col_sum = jnp.sum(w_gamma, axis=0)                    # gamma @ W, [F]
+    offset = ln_bias @ kernel + bias                      # [F]
+    y = inv * z - (inv * mu) * col_sum + offset
+    return y.astype(dtype)
+
+
 class Attention(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         cfg = self.cfg
         B, T, D = x.shape
         H = cfg.num_heads
         Dh = D // H
-        # Fused QKV projection, sharded over heads (TP).
-        qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
+        # Fused QKV projection, sharded over heads (TP). With `ln` set the
+        # preceding LayerNorm is folded into this matmul (x arrives raw).
+        if ln is None:
+            qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
+        else:
+            kernel, bias = _DenseParams(3 * D, ("embed", "heads"),
+                                        name="qkv")(D)
+            qkv = _folded_ln_dense(x, ln[0], ln[1], kernel, bias, cfg.dtype)
         scale = 1.0 / math.sqrt(Dh)
         from vsc_tpu.ops.attention_pallas import (qkv_lane_group,
-                                                  qkv_short_seq_attention)
+                                                  qkv_short_seq_attention,
+                                                  short_seq_attention)
         use_flash = cfg.flash_attention
         if use_flash is None:
             # auto: only where a pallas_call is SPMD-safe — single-device
@@ -102,6 +167,14 @@ class Attention(nn.Module):
             # [B,T,H,Dh] transposes — the kernel reads head groups via
             # lane-offset views of `qkv` and returns [B, T, D].
             out = qkv_short_seq_attention(qkv, H, scale)
+        elif use_flash:
+            # Non-lane-aligned head dims (e.g. Dh=48) can't use the
+            # qkv-native kernel but still benefit from the on-chip
+            # logits kernel over split q/k/v.
+            q = qkv[..., :D].reshape(B, T, H, Dh)
+            k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
+            v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
+            out = short_seq_attention(q, k, v, scale).reshape(B, T, D)
         else:
             # Einsum attention: f32 softmax, no mask (bidirectional ViT).
             # q/k/v split via lane-aligned slices of the last dim (a
@@ -136,11 +209,16 @@ class Mlp(nn.Module):
     cfg: ViTConfig
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, ln=None):
         cfg = self.cfg
         D = x.shape[-1]
         hidden = int(D * cfg.mlp_ratio)
-        x = _dense(hidden, "fc1", ("embed", "mlp"), cfg)(x)
+        if ln is None:
+            x = _dense(hidden, "fc1", ("embed", "mlp"), cfg)(x)
+        else:
+            kernel, bias = _DenseParams(hidden, ("embed", "mlp"),
+                                        name="fc1")(D)
+            x = _folded_ln_dense(x, ln[0], ln[1], kernel, bias, cfg.dtype)
         x = nn.gelu(x, approximate=False)
         return _dense(D, "fc2", ("mlp", "embed"), cfg)(x)
 
@@ -166,16 +244,31 @@ class Block(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        import os
         cfg = self.cfg
         D = x.shape[-1]
+        # Fold each pre-LN into its following matmul (algebraically exact;
+        # removes the normalized-copy materializations). The parameter tree
+        # is identical either way. VSC_TPU_FOLDED_LN=0 opts out.
+        fold = os.environ.get("VSC_TPU_FOLDED_LN", "1") != "0"
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                                        param_dtype=jnp.float32, name=name)
         x = _seq_constraint(x, cfg)
-        x = x + LayerScale(D, cfg.layerscale_init, name="ls1")(
-            Attention(cfg, name="attn")(ln("norm1")(x)))
+        if fold:
+            ln1 = _LNParams(D, name="norm1")()
+            x = x + LayerScale(D, cfg.layerscale_init, name="ls1")(
+                Attention(cfg, name="attn")(x, ln=ln1))
+        else:
+            x = x + LayerScale(D, cfg.layerscale_init, name="ls1")(
+                Attention(cfg, name="attn")(ln("norm1")(x)))
         x = _seq_constraint(x, cfg)
-        x = x + LayerScale(D, cfg.layerscale_init, name="ls2")(
-            Mlp(cfg, name="mlp")(ln("norm2")(x)))
+        if fold:
+            ln2 = _LNParams(D, name="norm2")()
+            x = x + LayerScale(D, cfg.layerscale_init, name="ls2")(
+                Mlp(cfg, name="mlp")(x, ln=ln2))
+        else:
+            x = x + LayerScale(D, cfg.layerscale_init, name="ls2")(
+                Mlp(cfg, name="mlp")(ln("norm2")(x)))
         return x
 
 

@@ -108,6 +108,19 @@ def sharpen_downscale(img, ratio: int, strength: float,
     ratio:1 box average. H' >= out_h * ratio, W' >= out_w * ratio."""
     B, H, W, C = img.shape
     assert C == 3
+    if W < 129 or H < 5:
+        # The 128-column / 4-row reflect pads below require W >= 129 and
+        # H >= 5 (jnp.pad reflect needs pad < dim). Production frames are
+        # always far larger; tiny inputs take the equivalent jnp path.
+        from vsc_tpu.ops.filters import unsharp_mask
+        from vsc_tpu.ops.resize import resize
+        x = img
+        if strength > 0:
+            x = unsharp_mask(x, strength)
+        if (H, W) != (out_h * ratio, out_w * ratio):
+            x = x[:, :out_h * ratio, :out_w * ratio]
+        return resize(x, out_h, out_w, "area",
+                      channel_last=True).astype(jnp.float32)
     nr = pl.cdiv(out_h, OUT_BLOCK_R)
     nc = pl.cdiv(out_w, OUT_BLOCK_C)
     IBR = OUT_BLOCK_R * ratio

@@ -333,7 +333,7 @@ def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
         sweeps=sweeps, polish=polish, sigma_color=30.0,
         nb=B, nr=nr, nc=nc, qwin_r=qwin_r, qwin_c=qwin_c)
 
-    hbm = pl.BlockSpec(memory_space=pltpu.ANY)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         kernel,
         grid=(B, nr, nc),

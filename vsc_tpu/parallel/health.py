@@ -22,7 +22,8 @@ import threading
 import jax
 import jax.numpy as jnp
 
-__all__ = ["ACCEL_ERROR_EXIT_CODE", "check_accelerator_health"]
+__all__ = ["ACCEL_ERROR_EXIT_CODE", "check_accelerator_health",
+           "run_with_deadline"]
 
 # Exit code signaling accelerator failure to the orchestrator (same contract
 # as the reference's GPU_ERROR_EXIT_CODE, sbs_generator.py:41).
@@ -46,6 +47,35 @@ def _run_probe(device) -> bool:
         x = jax.device_put(x, device)
     result = float(_probe(x))
     return abs(result - 12.0) < 1e-3
+
+
+def run_with_deadline(fn, timeout: float):
+    """Run ``fn()`` on a daemon worker thread with a deadline.
+
+    Returns ``fn()``'s value; raises ``TimeoutError`` when the deadline
+    passes (the wedged dispatch thread is abandoned — daemon threads don't
+    block interpreter exit, so the caller can still ``sys.exit(100)``).
+    Exceptions from ``fn`` propagate unchanged. This is the dispatch-level
+    analogue of the health probe's hang deadline: a wedged TPU can hang a
+    device->host transfer indefinitely rather than raise."""
+    out: list = []
+    err: list = []
+
+    def worker():
+        try:
+            out.append(fn())
+        except BaseException as e:  # noqa: BLE001 — re-raised on the caller
+            err.append(e)
+
+    t = threading.Thread(target=worker, daemon=True, name="vsc-dispatch")
+    t.start()
+    t.join(timeout)
+    if t.is_alive():
+        raise TimeoutError(
+            f"device dispatch exceeded its {timeout:.0f}s deadline")
+    if err:
+        raise err[0]
+    return out[0]
 
 
 def check_accelerator_health(device=None, timeout: float | None = None) -> bool:

@@ -37,6 +37,17 @@ class AccelFailure(RuntimeError):
     """Accelerator health probe failed mid-stream (exit 100 contract)."""
 
 
+# Health-probe cadence: roughly every this many frames (the reference probes
+# per frame, sbs_generator.py:312-317; per ~64 frames amortizes the ~38 ms
+# probe round-trip to <1 ms/frame while still catching a wedge in seconds).
+PROBE_EVERY_FRAMES = int(os.environ.get("VSC_TPU_STREAM_PROBE_FRAMES", "64"))
+# Per-dispatch deadline once warm (first dispatch may compile for minutes
+# through the remote-compile relay; a warm batch takes ~2 s).
+DISPATCH_TIMEOUT = float(os.environ.get("VSC_TPU_DISPATCH_TIMEOUT", "120"))
+DISPATCH_COLD_TIMEOUT = float(
+    os.environ.get("VSC_TPU_DISPATCH_COLD_TIMEOUT", "900"))
+
+
 def _free_space_cleanup(workflow_path: Path, config: dict, upto: int) -> None:
     """Streaming produces no intermediates, but a workflow partially
     processed by the step pipeline may hold frames/depth/SBS PNGs that the
@@ -75,7 +86,8 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
     from vsc_tpu.io.media import RawFrameSink, decode_frames
     from vsc_tpu.io.probe import probe_video
     from vsc_tpu.parallel.auto import device_count, pad_to_multiple, shard_batch
-    from vsc_tpu.parallel.health import check_accelerator_health
+    from vsc_tpu.parallel.health import (check_accelerator_health,
+                                         run_with_deadline)
     from vsc_tpu.pipeline.chunk_generator import find_chunks
     from vsc_tpu.pipeline.depth_map_generator import CHECKPOINT_ENV, build_depth_fn
     from vsc_tpu.ops.stereo import generate_sbs
@@ -135,6 +147,30 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                     mininterval=0.5)
         meter = Throughput()
         frame_no = done_upto    # highest fully-encoded frame number
+
+        # Failure detection (VERDICT r2 #7): a known-answer probe every
+        # ~PROBE_EVERY_FRAMES frames PLUS a hang deadline around every
+        # dispatch, so a mid-chunk device wedge exits 100 in seconds, not at
+        # the 1500-frame chunk boundary (reference probes per frame,
+        # sbs_generator.py:312-317).
+        probe_every = max(1, -(-PROBE_EVERY_FRAMES // max(batch_size, 1)))
+        batches_since_probe = 0
+        warmed = [False]  # first dispatch may compile through the relay
+
+        def compute_batch(rgb_np, n):
+            def _run():
+                sharded = shard_batch(rgb_np)
+                depth = depth_fn(sharded)
+                return np.asarray(generate_sbs(sharded, depth, params))[:n]
+            deadline = (DISPATCH_TIMEOUT if warmed[0]
+                        else max(DISPATCH_TIMEOUT, DISPATCH_COLD_TIMEOUT))
+            try:
+                out = run_with_deadline(_run, deadline)
+            except TimeoutError as e:
+                raise AccelFailure(str(e)) from e
+            warmed[0] = True
+            return out
+
         carry_sbs = None        # encoded SBS of frame `frame_no` (overlap dup)
         if done_upto > 0:
             # boundary frame comes back out of the decoder first; it must be
@@ -144,16 +180,13 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                 print("ERROR: cannot re-decode chunk boundary frame")
                 return False
             rgb = np.frombuffer(raw, np.uint8).reshape(1, H, W, 3)
-            rgb = shard_batch(np.repeat(rgb, dispatch_n, axis=0))
-            depth = depth_fn(rgb)
-            carry_sbs = np.asarray(generate_sbs(rgb, depth, params))[:1]
+            carry_sbs = compute_batch(np.repeat(rgb, dispatch_n, axis=0), 1)
 
         with trace("stream_convert"):
             while frame_no < total or total == 0:
-                # per-chunk known-answer probe, the streaming analogue of the
-                # per-frame GPU health test (reference sbs_generator.py:312-317)
                 if not check_accelerator_health():
                     raise AccelFailure("accelerator health check failed")
+                batches_since_probe = 0
                 # one chunk: chunk_size NEW frames (+ the duplicated boundary
                 # frame on chunks after the first) into an atomic .mkv
                 start_frame = frame_no if frame_no > 0 else 1
@@ -186,9 +219,13 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                         if n < dispatch_n:  # pad for static dispatch shape
                             pad = np.repeat(rgb[-1:], dispatch_n - n, axis=0)
                             rgb = np.concatenate([rgb, pad], axis=0)
-                        rgb = shard_batch(rgb)
-                        depth = depth_fn(rgb)
-                        sbs = np.asarray(generate_sbs(rgb, depth, params))[:n]
+                        if batches_since_probe >= probe_every:
+                            if not check_accelerator_health():
+                                raise AccelFailure(
+                                    "accelerator health check failed")
+                            batches_since_probe = 0
+                        sbs = compute_batch(rgb, n)
+                        batches_since_probe += 1
                         sink.write(sbs.tobytes())
                         last_sbs = sbs[-1:]
                         produced += n
@@ -197,6 +234,11 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
                         pbar.set_postfix_str(f"{meter.rate:.2f} fps")
                         if eof:
                             break
+                except AccelFailure:
+                    # propagate the exit-100 contract past the generic handler
+                    sink.close(success=False)
+                    pbar.close()
+                    raise
                 except Exception as e:
                     sink.close(success=False)
                     pbar.close()

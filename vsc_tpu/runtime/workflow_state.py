@@ -139,17 +139,30 @@ def _merge(current: dict[str, dict], from_file: dict[str, dict]) -> dict[str, di
 
 def _is_complete(path: str, workflow: dict) -> bool:
     """Complete = persistent steps DONE and the final output exists (or the
-    workflow directory/config has been cleaned away)."""
+    workflow directory/config has been cleaned away).
+
+    Only an affirmatively *missing* workflow (directory or config.json gone)
+    counts as cleaned-up-and-done; any other error (EACCES, disk hiccup,
+    corrupt JSON) preserves the current state so a transient failure during
+    save can never permanently collapse an unfinished workflow to DONE
+    (reference gates the collapse on affirmative completion,
+    /root/reference/helper/workflow_state.py:371-398)."""
     for step in PERSISTENT_STEPS:
         if get_step_status(workflow.get(step)) != StepStatus.DONE:
             return False
+    p = Path(path)
+    config_file = p / "config.json"
     try:
-        from vsc_tpu.config import ConfigError, get_path, load_config
-        p = Path(path)
+        if not config_file.exists():
+            return True  # cleaned away: treat as finished
+    except OSError:
+        return False  # can't even stat it: preserve state
+    try:
+        from vsc_tpu.config import get_path, load_config
         config = load_config(p)
         return get_path(p, config, "output_video").exists()
     except Exception:
-        return True  # config gone: treat as finished/cleaned up
+        return False  # unreadable/invalid config: NOT proven complete
 
 
 def save_workflows(yaml_path: Path, workflows: dict[str, dict]) -> dict[str, dict]:
