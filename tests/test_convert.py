@@ -38,27 +38,32 @@ TINY = DepthProConfig(
 )
 
 
-def make_hf_model():
+def make_hf_model(c: DepthProConfig = TINY):
     from transformers import DepthProConfig as HFConfig
     from transformers import DepthProForDepthEstimation
     from transformers import Dinov2Config
 
-    vit = dict(image_size=TINY.tile_size, patch_size=2, hidden_size=32,
-               num_hidden_layers=4, num_attention_heads=2,
-               layerscale_value=1.0, attn_implementation="eager")
+    vit = dict(image_size=c.tile_size, patch_size=c.encoder.patch_size,
+               hidden_size=c.encoder.embed_dim,
+               num_hidden_layers=c.encoder.depth,
+               num_attention_heads=c.encoder.num_heads,
+               intermediate_size=int(c.encoder.embed_dim
+                                     * c.encoder.mlp_ratio),
+               layerscale_value=c.encoder.layerscale_init,
+               attn_implementation="eager")
     cfg = HFConfig(
-        patch_size=TINY.tile_size,
+        patch_size=c.tile_size,
         patch_model_config=Dinov2Config(**vit),
         image_model_config=Dinov2Config(**vit),
         fov_model_config=Dinov2Config(**vit),
-        fusion_hidden_size=TINY.decoder_features,
-        intermediate_hook_ids=[TINY.hook_block_ids[1], TINY.hook_block_ids[0]],
-        intermediate_feature_dims=[TINY.dims_encoder[0], TINY.dims_encoder[0]],
+        fusion_hidden_size=c.decoder_features,
+        intermediate_hook_ids=[c.hook_block_ids[1], c.hook_block_ids[0]],
+        intermediate_feature_dims=[c.dims_encoder[0], c.dims_encoder[0]],
         scaled_images_ratios=[0.25, 0.5, 1],
         scaled_images_overlap_ratios=[0.0, 0.5, 0.25],
-        scaled_images_feature_dims=[TINY.dims_encoder[3],
-                                    TINY.dims_encoder[2],
-                                    TINY.dims_encoder[1]],
+        scaled_images_feature_dims=[c.dims_encoder[3],
+                                    c.dims_encoder[2],
+                                    c.dims_encoder[1]],
         merge_padding_value=3,
         use_fov_model=True,
         num_fov_head_layers=2,
@@ -301,3 +306,59 @@ def test_vit_conversion_numerics(tmp_path):
     got, _ = model.apply({"params": params}, jnp.asarray(x))
     want = torch_vit_forward(state, "enc.", cfg, x)
     np.testing.assert_allclose(np.asarray(got), want, atol=2e-4)
+
+
+# ---------------------------------------------------------------------------
+# production-grid parity: full 1536-px input, 384-px tiles, patch 16 — the
+# EXACT tile-mosaic geometry of the shipping model (reference workload:
+# /root/reference/depth_map_generator.py:303-324, 1536x1536 ONNX) with a
+# thin encoder so it runs on CPU in seconds. Every grid-dependent
+# coincidence (trim = grid//8 = 3 vs HF merge padding min(grid//4, 3) = 3,
+# 5x5 fine-tile cover at stride 0.75*tile, hook reshapes) is exercised at
+# the production numbers, closing the risk that the TINY-config tests only
+# pass at their own size.
+
+PROD_GEOM = DepthProConfig(
+    img_size=1536,
+    tile_size=384,
+    encoder=ViTConfig(img_size=384, patch_size=16, embed_dim=32, depth=4,
+                      num_heads=2, layerscale_init=1.0),
+    hook_block_ids=(0, 2),
+    decoder_features=16,
+    dims_encoder=(16, 24, 32, 32),
+)
+
+
+def test_production_grid_equivalence(tmp_path):
+    hf = make_hf_model(PROD_GEOM)
+    rng = np.random.default_rng(1)
+    x = rng.uniform(-1.0, 1.0,
+                    (1, PROD_GEOM.img_size, PROD_GEOM.img_size, 3))
+    x = x.astype(np.float32)
+    with torch.no_grad():
+        out = hf(torch.from_numpy(x).permute(0, 3, 1, 2))
+    want_depth = out.predicted_depth.numpy()
+
+    ckpt = tmp_path / "prod_geom.pt"
+    torch.save(hf.state_dict(), ckpt)
+    model = DepthPro(PROD_GEOM)
+    params = convert_torch_checkpoint(ckpt, model, verbose=False)
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x))["canonical_inverse_depth"])
+    assert got.shape == want_depth.shape == (1, 1536, 1536)
+    np.testing.assert_allclose(got, want_depth, atol=5e-3, rtol=1e-3)
+
+
+def test_safetensors_checkpoint_equivalence(oracle, tmp_path):
+    """apple/DepthPro-hf ships safetensors (models/bootstrap.py downloads
+    it); converting it must match converting the same weights from .pt."""
+    from safetensors.torch import save_file
+
+    hf, x, (want_depth, _) = oracle
+    state = {k: v.contiguous() for k, v in hf.state_dict().items()}
+    ckpt = tmp_path / "model.safetensors"
+    save_file(state, str(ckpt))
+    model, params = _ours_from_checkpoint(ckpt)
+    got = np.asarray(model.apply({"params": params},
+                                 jnp.asarray(x))["canonical_inverse_depth"])
+    np.testing.assert_allclose(got, want_depth, atol=5e-3, rtol=1e-3)

@@ -411,12 +411,18 @@ def convert_torch_checkpoint(ckpt_path: Path | str, model, rng=None,
     ckpt_path = Path(ckpt_path)
     if not ckpt_path.exists():
         raise FileNotFoundError(ckpt_path)
-    try:
-        # weights_only: never execute pickled code from a downloaded .pt
-        state = torch.load(str(ckpt_path), map_location="cpu",
-                           weights_only=True)
-    except TypeError:  # torch < 1.13 has no weights_only kwarg
-        state = torch.load(str(ckpt_path), map_location="cpu")
+    if ckpt_path.suffix == ".safetensors":
+        # the format apple/DepthPro-hf ships (models/bootstrap.py);
+        # torch loader handles bf16/f16 tensors numpy can't represent
+        from safetensors.torch import load_file
+        state = {k: v.float() for k, v in load_file(str(ckpt_path)).items()}
+    else:
+        try:
+            # weights_only: never execute pickled code from a downloaded .pt
+            state = torch.load(str(ckpt_path), map_location="cpu",
+                               weights_only=True)
+        except TypeError:  # torch < 1.13 has no weights_only kwarg
+            state = torch.load(str(ckpt_path), map_location="cpu")
     if isinstance(state, dict) and "state_dict" in state:
         state = state["state_dict"]
     state = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v)

@@ -82,9 +82,13 @@ def build_depth_fn(model_name: str, input_size: int, out_h: int, out_w: int,
         from flax.core import meta
         params = meta.unbox(variables["params"])
         if checkpoint:
-            if str(checkpoint).endswith((".pt", ".pth")):
+            if str(checkpoint).endswith((".pt", ".pth", ".safetensors")):
+                from vsc_tpu.models.bootstrap import maybe_cache_npz
                 from vsc_tpu.models.convert import convert_torch_checkpoint
                 params = convert_torch_checkpoint(checkpoint, model)
+                # hub-downloaded weights: cache the converted npz so later
+                # runs are offline-capable (models/bootstrap.py)
+                maybe_cache_npz(checkpoint, params)
             else:
                 params = load_params(checkpoint, params)
         params = jax.device_put(params)
@@ -171,12 +175,18 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
         return False
     H, W = probe.shape[:2]
 
-    checkpoint = os.environ.get(CHECKPOINT_ENV)
+    # Self-bootstrap like the reference (depth_map_generator.py:39-64):
+    # explicit env checkpoint > converted npz cache > hub download; only
+    # when all fail does the stub (explicitly labeled) take over.
+    from vsc_tpu.models.bootstrap import resolve_checkpoint
+    checkpoint = (os.environ.get(CHECKPOINT_ENV) if model_name == "stub"
+                  else resolve_checkpoint())
     if model_name is None:
         model_name = "depthpro" if checkpoint else "stub"
     if model_name == "stub":
-        print("\033[33mNo depth checkpoint configured "
-              f"(${CHECKPOINT_ENV}); using luminance stub model.\033[0m")
+        print("\033[33mNo depth checkpoint available "
+              f"(${CHECKPOINT_ENV} unset, no cache, no network); "
+              "using luminance stub model.\033[0m")
     import jax
     print(f"Using: {jax.devices()[0].platform} "
           f"({len(jax.devices())} device(s)), model={model_name}, "

@@ -112,7 +112,10 @@ def run(workflow_path: Path, config: dict, *, batch_size: int = 4,
     if done_upto >= total > 0:
         print("All frames already encoded into chunks.")
     else:
-        checkpoint = os.environ.get(CHECKPOINT_ENV)
+        # same self-bootstrap as the step pipeline: env > npz cache > hub
+        from vsc_tpu.models.bootstrap import resolve_checkpoint
+        checkpoint = (os.environ.get(CHECKPOINT_ENV) if model_name == "stub"
+                      else resolve_checkpoint())
         if model_name is None:
             model_name = "depthpro" if checkpoint else "stub"
         params = StereoParams.from_config(config["stereo"])
