@@ -73,3 +73,42 @@ def test_monitor_detection_helpers():
     # headless environment still yields a usable default
     mons = detect_monitors()
     assert len(mons) >= 1 and mons[0]["width"] > 0
+
+
+def test_no_arg_opens_picker(monkeypatch, workflow):
+    """Reference parity: no workflow argument -> folder dialog
+    (reference sbs_tester.py:726-736); cancel exits with an error."""
+    import vsc_tpu.pipeline.sbs_tester as st
+
+    picked = {}
+
+    def fake_picker():
+        picked["called"] = True
+        return None  # user cancelled
+
+    monkeypatch.setattr(st, "pick_workflow_dir", fake_picker)
+    assert st.main([]) == 1
+    assert picked.get("called")
+
+    # picking a real workflow proceeds to config load (headless: the
+    # grid flag keeps it off the GUI path, requiring depth maps -> False)
+    monkeypatch.setattr(st, "pick_workflow_dir", lambda: str(workflow))
+    rc = st.main(["--grid", "max_disparity=4"])
+    assert rc in (0, 1)  # reached the pipeline, not the usage error
+
+
+def test_picker_headless_returns_none(monkeypatch):
+    from vsc_tpu.pipeline.sbs_tester import pick_workflow_dir
+    monkeypatch.delenv("DISPLAY", raising=False)
+    assert pick_workflow_dir() is None
+
+
+def test_slider_debounce_rearms():
+    """on_change must postpone rendering ~100 ms past the LAST movement
+    (reference sbs_tester.py:487-498 cancel+reschedule semantics)."""
+    import inspect
+
+    from vsc_tpu.pipeline.sbs_tester import run_interactive
+    src = inspect.getsource(run_interactive)
+    assert 'state["render_after"] = time.monotonic() + 0.1' in src
+    assert 'time.monotonic() >= state["render_after"]' in src

@@ -227,7 +227,7 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
               f"({m['x']}, {m['y']})")
 
     state = {"frame_idx": 0, "dirty": True, "fullscreen": False,
-             "monitor": 0}
+             "monitor": 0, "render_after": 0.0}
     cache: dict[tuple, "np.ndarray"] = {}
 
     def show(img_rgb):
@@ -253,7 +253,11 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
         state["dirty"] = True
 
     def on_change(_=None):
+        # 100 ms debounce like the reference (sbs_tester.py:487-498): each
+        # movement re-arms the timer, so dragging a slider issues one
+        # ~100 ms TPU render per pause instead of one per poll tick
         state["dirty"] = True
+        state["render_after"] = time.monotonic() + 0.1
 
     for name, field, lo, hi, scale in SLIDERS:
         init = int(round(getattr(params, field) / scale))
@@ -280,7 +284,8 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
     showing_depth = False
 
     while True:
-        if state["dirty"] and not showing_depth:
+        if (state["dirty"] and not showing_depth
+                and time.monotonic() >= state["render_after"]):
             p = current_params()
             key = tuple(sorted(p.to_dict().items()))
             if key not in cache:
@@ -332,10 +337,27 @@ def run_interactive(workflow_path: Path, config: dict) -> bool:
     return True
 
 
+def pick_workflow_dir() -> str | None:
+    """Tk folder dialog (reference sbs_tester.py:726-736); returns None when
+    nothing was selected or no display is reachable."""
+    if not os.environ.get("DISPLAY") and os.name == "posix":
+        return None
+    try:
+        import tkinter as tk
+        from tkinter import filedialog
+        root = tk.Tk()
+        root.withdraw()
+        path = filedialog.askdirectory(title="Select Workflow Directory")
+        root.destroy()
+        return path or None
+    except Exception:
+        return None
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(
         description="Interactively tune stereo parameters (or sweep a grid)")
-    parser.add_argument("workflow_path", type=Path)
+    parser.add_argument("workflow_path", type=Path, nargs="?", default=None)
     parser.add_argument("--cpu", action="store_true")
     parser.add_argument("--grid", type=str, default=None,
                         help="Headless sweep, e.g. "
@@ -349,6 +371,14 @@ def main(argv=None) -> int:
     if args.cpu:
         from vsc_tpu.utils.jax_setup import force_cpu
         force_cpu()
+    if args.workflow_path is None:
+        # no argument: folder picker, like the reference
+        # (sbs_tester.py:726-736); headless runs must pass a path
+        picked = pick_workflow_dir()
+        if not picked:
+            print("No workflow directory selected.")
+            return 1
+        args.workflow_path = Path(picked)
     if not args.workflow_path.is_dir():
         print(f"ERROR: Workflow directory not found: {args.workflow_path}")
         return 1
