@@ -102,3 +102,28 @@ def test_param_save_load_roundtrip(tiny_model, tmp_path):
     loaded = load_params(tmp_path / "ckpt.npz", params)
     for a, b in zip(jax.tree.leaves(params), jax.tree.leaves(loaded)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_optin_fast_paths_equivalent(tiny_model, monkeypatch):
+    """The measured-slower opt-in formulations (folded LN, composed deconv
+    chains — see vit.py/depthpro.py notes from the r3 TPU bisect) must stay
+    numerically equivalent to the default paths so the toggles remain safe
+    to flip on other hardware generations."""
+    cfg, model, boxed = tiny_model
+    params = meta.unbox(boxed)
+    x = np.random.default_rng(3).uniform(
+        -1, 1, (1, cfg.img_size, cfg.img_size, 3)).astype(np.float32)
+
+    def run():
+        out = model.apply({"params": params}, jnp.asarray(x))
+        return np.asarray(out["canonical_inverse_depth"])
+
+    base = run()
+    monkeypatch.setenv("VSC_TPU_FOLDED_LN", "1")
+    monkeypatch.setenv("VSC_TPU_FUSED_UPSAMPLE", "1")
+    jax.clear_caches()  # env toggles are read at trace time
+    opt = run()
+    monkeypatch.delenv("VSC_TPU_FOLDED_LN")
+    monkeypatch.delenv("VSC_TPU_FUSED_UPSAMPLE")
+    jax.clear_caches()
+    np.testing.assert_allclose(opt, base, atol=1e-4, rtol=1e-4)

@@ -237,12 +237,13 @@ class ProjUpsample(nn.Module):
     """Apple's _create_project_upsample_block: 1x1 conv projection followed
     by n_upsample ConvTranspose 2x2/s2 layers, all bias-free.
 
-    On TPU the deconv chain (no activations between layers) is applied as
-    its composed single 2^n-factor deconv: one [Cin, f*f*Cout] matmul per
-    input pixel + one depth-to-space, instead of n dilated convs with
-    full-resolution intermediates (the latent0 chain alone materializes
-    19/75/302 MB per frame at production shapes). VSC_TPU_FUSED_UPSAMPLE=0
-    opts out."""
+    The composed single 2^n-factor deconv (one [Cin, f*f*Cout] matmul per
+    input pixel + one depth-to-space) MEASURED SLOWER than the plain chain
+    on the axon TPU v5 (+0.9 ms/frame depth, r3 bisect /tmp/b_nofuse):
+    the 6-D depth-to-space transpose with tiny minor dims loses more to
+    tiling than the chain's intermediates cost, matching the round-2
+    finding that standalone-deconv rewrites lose in-context. Default OFF;
+    VSC_TPU_FUSED_UPSAMPLE=1 opts in."""
     dim_out: int
     n_upsample: int
     dim_int: int | None = None
@@ -254,7 +255,7 @@ class ProjUpsample(nn.Module):
         dim_int = self.dim_int if self.dim_int is not None else self.dim_out
         x = _conv(dim_int, 1, "proj", use_bias=False, dtype=self.dtype)(x)
         fuse = (self.n_upsample >= 2
-                and os.environ.get("VSC_TPU_FUSED_UPSAMPLE", "1") != "0")
+                and os.environ.get("VSC_TPU_FUSED_UPSAMPLE", "0") == "1")
         if not fuse:
             for i in range(self.n_upsample):
                 x = ConvT2x2(self.dim_out, use_bias=False, dtype=self.dtype,

@@ -249,8 +249,12 @@ class Block(nn.Module):
         D = x.shape[-1]
         # Fold each pre-LN into its following matmul (algebraically exact;
         # removes the normalized-copy materializations). The parameter tree
-        # is identical either way. VSC_TPU_FOLDED_LN=0 opts out.
-        fold = os.environ.get("VSC_TPU_FOLDED_LN", "1") != "0"
+        # is identical either way. MEASURED SLOWER on the axon TPU v5
+        # (+4.5 ms/frame depth: 157 vs 152.3 ms, r3 bisect /tmp/b_nofold) —
+        # XLA already fuses the LN into the matmul epilogue, and the folded
+        # form's per-row scale multiply of the [D, 3D] kernel beats the
+        # fused normalize. Default OFF; VSC_TPU_FOLDED_LN=1 opts in.
+        fold = os.environ.get("VSC_TPU_FOLDED_LN", "0") == "1"
         ln = lambda name: nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                                        param_dtype=jnp.float32, name=name)
         x = _seq_constraint(x, cfg)
