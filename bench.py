@@ -31,6 +31,9 @@ Env knobs:
   BENCH_BATCH=N                    frames per dispatch (default 2 full,
                                    4 otherwise)
   BENCH_ITERS=N                    timed iterations (default 8)
+  BENCH_EXTRAS=0                   skip the secondary measurements (decoded
+                                   real-codec content, worst-case depth,
+                                   integrated stream throughput)
 """
 
 from __future__ import annotations
@@ -178,6 +181,12 @@ def main() -> None:
 
     n = iters * batch
     fps = n / (t_depth + t_sbs)
+
+    extras = {}
+    if os.environ.get("BENCH_EXTRAS", "1") != "0":
+        extras = measure_extras(frames, run_depth, run_sbs, batch,
+                                max(iters // 2, 2), sync,
+                                t_depth / n, t_sbs / n)
     mfu = None
     if os.environ.get("BENCH_DEPTH", "full") == "full":
         from vsc_tpu.models import DepthProConfig
@@ -200,9 +209,121 @@ def main() -> None:
             "stereo_params": "reference defaults",
             "content": "synthetic-realistic frames + scene-like depth "
                        "(smooth+edges+texture)",
+            **extras,
         },
     }
     print(json.dumps(result))
+
+
+def measure_extras(frames, run_depth, run_sbs, batch, iters, sync,
+                   depth_spf, sbs_spf):
+    """Secondary measurements (VERDICT r2 #2/#5, ADVICE r2 medium):
+
+    - the same compiled programs timed on REAL DECODED video frames (a
+      1080p clip through the native hevc encode/decode path) with the
+      stub's luminance depth of those frames — fps sensitivity to content
+      statistics, no new compilation;
+    - SBS timed on uniform-noise depth: every pixel a disocclusion, the
+      postprocess/warp predication worst case (a bound no real video hits);
+    - the analytic SBS roofline (utils/flops.sbs_roofline) and attained %;
+    - integrated stream_convert throughput (decode -> depth -> SBS ->
+      encoder pipe, stub depth) on the same clip.
+    """
+    import shutil
+    import subprocess
+    import tempfile
+    from pathlib import Path
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    extras = {}
+    H, W = 1080, 1920
+    tmp = Path(tempfile.mkdtemp(prefix="bench_clip_"))
+    try:
+        from vsc_tpu.io.media import decode_frames, vscmedia_path
+        clip = tmp / "clip.mkv"
+        binary = vscmedia_path()
+        if binary is None:
+            return {}
+        subprocess.run(
+            [str(binary), "makevideo", "--output", str(clip), "--width",
+             str(W), "--height", str(H), "--frames", str(max(batch, 16)),
+             "--framerate", "24"], check=True, capture_output=True)
+        dec = []
+        for raw in decode_frames(clip, W, H, count=batch):
+            dec.append(np.frombuffer(raw, np.uint8).reshape(H, W, 3))
+        while len(dec) < batch:
+            dec.append(dec[-1])
+        dec_frames = jnp.asarray(np.stack(dec))
+
+        # luminance-stub depth of the decoded frames: deterministic,
+        # scene-like, reproducible (VERDICT r2: "stub depth if weightless")
+        from vsc_tpu.models.stub import luminance_depth
+        dec_depth = jnp.round(luminance_depth(
+            dec_frames.astype(jnp.float32) / 127.5 - 1.0) * 255.0
+        ).astype(jnp.uint8)
+
+        import time as _t
+        d = run_depth(dec_frames)
+        s = run_sbs(dec_frames, dec_depth)
+        sync((d, s))  # same shapes/dtypes -> cached programs, no compile
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            d = run_depth(dec_frames)
+        sync(d)
+        t_ddepth = (_t.perf_counter() - t0) / (iters * batch)
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            s = run_sbs(dec_frames, dec_depth)
+        sync(s)
+        t_dsbs = (_t.perf_counter() - t0) / (iters * batch)
+        extras["decoded_video"] = {
+            "depth_ms_per_frame": round(1000 * t_ddepth, 1),
+            "sbs_ms_per_frame": round(1000 * t_dsbs, 1),
+            "fps": round(1.0 / (t_ddepth + t_dsbs), 3),
+        }
+
+        # worst-case SBS content: uniform-noise depth (every pixel a
+        # depth edge -> hole predication never skips)
+        rng = np.random.default_rng(1)
+        noise_depth = jnp.asarray(
+            rng.integers(0, 256, (batch, H, W), np.uint8))
+        s = run_sbs(dec_frames, noise_depth)
+        sync(s)
+        t0 = _t.perf_counter()
+        for _ in range(iters):
+            s = run_sbs(dec_frames, noise_depth)
+        sync(s)
+        extras["sbs_worstcase_noise_depth_ms_per_frame"] = round(
+            1000 * (_t.perf_counter() - t0) / (iters * batch), 1)
+
+        # analytic speed-of-light for the SBS program + attained fraction
+        from vsc_tpu.utils.flops import sbs_roofline
+        sol = sbs_roofline(H, W)["ms"]
+        extras["sbs_roofline_ms"] = round(sol, 2)
+        extras["sbs_roofline_attained_pct"] = round(
+            100.0 * sol / (1000.0 * sbs_spf), 1)
+
+        # integrated stream throughput: decode -> depth(stub) -> SBS ->
+        # encoder pipe, chunked, in-process (shares the warm TPU context)
+        from vsc_tpu.config import load_config
+        from vsc_tpu.pipeline import stream_convert
+        from vsc_tpu.pipeline.workflow_init import init_workflow
+        wf = init_workflow(clip, tmp / "wf")
+        t0 = _t.perf_counter()
+        ok = stream_convert.run(wf, load_config(wf),
+                                batch_size=batch, model_name="stub",
+                                concat=False)
+        wall = _t.perf_counter() - t0
+        if ok:
+            extras["stream_convert_fps_stub_depth"] = round(
+                max(batch, 16) / wall, 3)
+    except Exception as e:  # extras must never sink the headline metric
+        extras["extras_error"] = f"{type(e).__name__}: {e}"
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return extras
 
 
 if __name__ == "__main__":

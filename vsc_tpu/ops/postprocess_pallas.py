@@ -85,6 +85,17 @@ def _shift(a, dy: int, dx: int):
     return a
 
 
+def _shift3(a, dy: int, dx: int):
+    """Stacked-plane variant: a is [K, R, C]; one roll moves every plane
+    (channels + mask share each offset in the stencil loops below, so
+    rolling the stack once per offset replaces K separate 2-D rolls)."""
+    if dy:
+        a = pltpu.roll(a, (-dy) % a.shape[1], 1)
+    if dx:
+        a = pltpu.roll(a, (-dx) % a.shape[2], 2)
+    return a
+
+
 def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             out_ref, win_ref, qwin_ref, sem, qsem,
             *, halo_r: int, halo_c: int, smoothing: float, sweeps: int,
@@ -173,20 +184,20 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
         radius = d // 2
         sigma_space = smoothing * 25.0
         inv2sc = -0.5 / (sigma_color * sigma_color)
-        num = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
+        stacked = jnp.stack(chans)                       # [3, WR, WC]
+        num = jnp.zeros((3, WR, WC), jnp.float32)
         den = jnp.zeros((WR, WC), jnp.float32)
         for dy, dx in _bilateral_offs(radius):
             sw = math.exp(-0.5 * (dy * dy + dx * dx)
                           / (sigma_space * sigma_space))
-            sh = [_shift(c, dy, dx) for c in chans]
+            sh = _shift3(stacked, dy, dx)
             cdiff = (jnp.abs(sh[0] - chans[0]) + jnp.abs(sh[1] - chans[1])
                      + jnp.abs(sh[2] - chans[2]))
             wgt = sw * jnp.exp(inv2sc * (cdiff * cdiff))
-            for k in range(3):
-                num[k] = num[k] + wgt * sh[k]
+            num = num + wgt * sh
             den = den + wgt
-        chans = [jnp.round(num[k] / den) for k in range(3)]
-        chans = [jnp.floor(jnp.clip(c, 0.0, 255.0)) for c in chans]
+        chans = [jnp.floor(jnp.clip(jnp.round(num[k] / den), 0.0, 255.0))
+                 for k in range(3)]
 
     # ---- dilated hole mask (3x3, one iteration; zero outside the image)
     hole_raw = jnp.maximum(inimg - valid, 0.0)
@@ -205,60 +216,93 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
             chans[k][halo_r:halo_r + BLOCK_R, halo_c:halo_c + BLOCK_C],
             0.0, 255.0))
 
-    @pl.when(jnp.sum(hole * inimg) > 0)
+    # ---- fill + polish, predicated per 128-COLUMN SUBTILE (r3):
+    # disocclusions are near-vertical curves (the warp shifts horizontally),
+    # so most 128-col slices of a hole-crossed block are themselves clean —
+    # block-level predication alone pays the full fill chain for the whole
+    # 512-wide block whenever any column has a hole. Each subtile computes
+    # on a lane-aligned window [t*128, t*128 + 128 + 2*halo_c): the margin
+    # equals the block halo (>= the fill+polish stencil reach), so every
+    # dependency of its output columns is computed exactly and the result
+    # is bit-identical to the full-window form.
+    hole_active = hole * inimg
+    n_sub = BLOCK_C // 128
+    sub_w = 128 + 2 * halo_c
+
+    @pl.when(jnp.sum(hole_active) > 0)
     def _fill_branch():
-        # ---- frontier fill (pad region stays unknown: inimg = 0 there).
-        # The identical sweeps run as a fori_loop, NOT unrolled: each sweep
-        # body is ~50 block-ops of static-shift stencils, and unrolling
-        # `sweeps` copies multiplied Mosaic compile time with zero runtime
-        # benefit (the loop trip count is tiny next to the stencil work).
-        def one_sweep(_, carry):
-            v0, v1, v2, known = carry
-            val = (v0, v1, v2)
-            num = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
-            den = jnp.zeros((WR, WC), jnp.float32)
-            for dy, dx, w in _FILL_OFFS:
-                kk = _shift(known, dy, dx)
-                den = den + w * kk
-                for k in range(3):
-                    num[k] = num[k] + (w * kk) * _shift(val[k], dy, dx)
-            reach = (den > 1e-8).astype(jnp.float32)
-            upd = (1.0 - known) * reach
-            inv_den = 1.0 / jnp.maximum(den, 1e-8)
-            out = [val[k] * (1.0 - upd) + (num[k] * inv_den) * upd
-                   for k in range(3)]
-            return out[0], out[1], out[2], jnp.maximum(known, reach)
-
-        known0 = keep * inimg
-        v0, v1, v2, known = jax.lax.fori_loop(
-            0, sweeps, one_sweep,
-            (chans[0] * known0, chans[1] * known0, chans[2] * known0, known0))
-        val = [v0, v1, v2]
-
-        # unreached interior -> smooth estimate; exact pixels restored
-        for k in range(3):
-            filled = jnp.where(known > 0, val[k], smooth_plane(k))
-            val[k] = jnp.where(keep > 0, chans[k], filled)
-
-        # ---- polish: inverse-distance re-average over the radius-3 disc
-        # (mirrors ops/inpaint.pyramid_inpaint's polish — approximates
-        # Telea's large-neighborhood averaging)
+        smooth_full = [smooth_plane(k) for k in range(3)]
+        known0_full = keep * inimg
         wsum = sum(w for _, _, w in _POLISH_OFFS)
 
-        def one_polish(_, carry):
-            acc = [jnp.zeros((WR, WC), jnp.float32) for _ in range(3)]
-            for dy, dx, w in _POLISH_OFFS:
+        for t in range(n_sub):
+            ssl = (slice(None), slice(t * 128, t * 128 + sub_w))
+            osub = (slice(None), slice(halo_c + t * 128,
+                                       halo_c + t * 128 + 128))
+
+            @pl.when(jnp.sum(hole_active[osub]) > 0)
+            def _sub(t=t, ssl=ssl, osub=osub):
+                known0 = known0_full[ssl]
+                keep_s = keep[ssl]
+                chans_s = [c[ssl] for c in chans]
+
+                # frontier fill (pad region stays unknown: inimg = 0
+                # there). The identical sweeps run as a fori_loop, NOT
+                # unrolled: each sweep body is ~50 block-ops of
+                # static-shift stencils, and unrolling multiplied Mosaic
+                # compile time with zero runtime benefit.
+                def one_sweep(_, carry):
+                    # carry: [4, WR, sub_w] = (v0, v1, v2, known) stacked —
+                    # one roll per offset moves all four planes
+                    acc = jnp.zeros((4, WR, sub_w), jnp.float32)
+                    for dy, dx, w in _FILL_OFFS:
+                        sh = _shift3(carry, dy, dx)
+                        kk = sh[3]
+                        acc = acc + jnp.concatenate(
+                            [(w * kk) * sh[:3], (w * kk)[None]], axis=0)
+                    den = acc[3]
+                    known = carry[3]
+                    reach = (den > 1e-8).astype(jnp.float32)
+                    upd = (1.0 - known) * reach
+                    inv_den = 1.0 / jnp.maximum(den, 1e-8)
+                    vals = (carry[:3] * (1.0 - upd)
+                            + (acc[:3] * inv_den) * upd)
+                    return jnp.concatenate(
+                        [vals, jnp.maximum(known, reach)[None]], axis=0)
+
+                carry = jax.lax.fori_loop(
+                    0, sweeps, one_sweep,
+                    jnp.concatenate(
+                        [jnp.stack(chans_s) * known0, known0[None]],
+                        axis=0))
+                val = [carry[0], carry[1], carry[2]]
+                known = carry[3]
+
+                # unreached interior -> smooth estimate; exact restored
                 for k in range(3):
-                    acc[k] = acc[k] + w * _shift(carry[k], dy, dx)
-            return tuple(jnp.where(keep > 0, carry[k], acc[k] / wsum)
-                         for k in range(3))
+                    filled = jnp.where(known > 0, val[k],
+                                       smooth_full[k][ssl])
+                    val[k] = jnp.where(keep_s > 0, chans_s[k], filled)
 
-        val = list(jax.lax.fori_loop(0, polish, one_polish, tuple(val)))
+                # polish: inverse-distance re-average over the radius-3
+                # disc (mirrors ops/inpaint.pyramid_inpaint's polish —
+                # approximates Telea's large-neighborhood averaging)
+                def one_polish(_, carry):
+                    # carry: [3, WR, sub_w] channel stack, one roll/offset
+                    acc = jnp.zeros((3, WR, sub_w), jnp.float32)
+                    for dy, dx, w in _POLISH_OFFS:
+                        acc = acc + w * _shift3(carry, dy, dx)
+                    return jnp.where(keep_s > 0, carry, acc / wsum)
 
-        for k in range(3):
-            out_ref[k, 0] = jnp.round(jnp.clip(
-                val[k][halo_r:halo_r + BLOCK_R, halo_c:halo_c + BLOCK_C],
-                0.0, 255.0))
+                val = jax.lax.fori_loop(0, polish, one_polish,
+                                        jnp.stack(val))
+
+                for k in range(3):
+                    out_ref[k, 0, :, t * 128:t * 128 + 128] = jnp.round(
+                        jnp.clip(
+                            val[k][halo_r:halo_r + BLOCK_R,
+                                   halo_c:halo_c + 128],
+                            0.0, 255.0))
 
 
 def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:

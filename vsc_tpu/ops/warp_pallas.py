@@ -36,18 +36,33 @@ __all__ = ["forward_warp_stereo_pallas", "forward_warp_stereo_pallas_planar"]
 _SENTINEL = -3.0e4  # disparity sentinel for padded columns (floor != any s)
 
 
+import os
+
+# column-chunk width for per-chunk range predication (lane-aligned; 512
+# measured best vs 256 at production widths — see BASELINE.md r3 notes)
+_CHUNK_C = int(os.environ.get("VSC_TPU_WARP_CHUNK", "512"))
+
+
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                  lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref,
                  rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref,
                  *, W: int, P: int, D: int, inv_max_disp: float):
-    """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs: [TH, W]."""
+    """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs: [TH, W].
+
+    The shift loop is predicated per COLUMN CHUNK (r3): a full-width row
+    strip of scene-like depth spans most of the disparity range, so
+    block-level [m_lo, m_hi] predication rarely skipped anything. Depth is
+    locally smooth along x too, so a 512-column chunk's disparity range is
+    a small band and most shift groups skip. An output chunk's sources live
+    within +-P of its columns — exactly the halo already in VMEM — so each
+    chunk computes its range over its source span and runs the group loop
+    independently, reading/writing only its own output slice."""
     disp = disp_ref[...]
     red = r_ref[...]
     green = g_ref[...]
     blue = b_ref[...]
 
     neg_inf = jnp.float32(-jnp.inf)
-    shape = (disp.shape[0], W)
 
     def run_eye(sign, s_lo, s_hi, refs):
         key_ref, w_ref, r_ref_o, g_ref_o, b_ref_o = refs
@@ -60,58 +75,63 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         # depth key in [0, 1]: |disp| / max_disp (sign * sign == 1)
         z_all = d_signed * (sign * inv_max_disp)
         ceil_ok = frac_all > 0.3
-        # Block disparity range (sentinel-padded columns excluded): shifts
-        # outside [min_k, max_k + 1] cannot produce a floor or ceil hit
-        # anywhere in this block, so their whole iteration body is
-        # predicated out. Real depth maps are locally smooth (and gamma
-        # compresses the range), so most of the ~D iterations skip.
         in_img = jnp.abs(k_all) < 2.0e4
-        m_lo = jnp.min(jnp.where(in_img, k_all, jnp.float32(1e9)))
-        m_hi = jnp.max(jnp.where(in_img, k_all, jnp.float32(-1e9)))
 
-        key_ref[...] = jnp.full(shape, neg_inf, jnp.float32)
-        w_ref[...] = jnp.zeros(shape, jnp.float32)
-        r_ref_o[...] = jnp.zeros(shape, jnp.float32)
-        g_ref_o[...] = jnp.zeros(shape, jnp.float32)
-        b_ref_o[...] = jnp.zeros(shape, jnp.float32)
-        # Predicate GROUPS of shifts, not single ones: the scalar-core
-        # branch chain itself costs ~0.1 us/iteration/cell, which at ~600
-        # iterations x ~400 cells would eat the entire predication win.
-        # WITHIN a group the running best is carried as VALUES (registers);
-        # the output refs are only read/written at group boundaries —
-        # per-iteration ref round-trips measured as the kernel's dominant
-        # cost (10 VMEM plane touches per shift).
-        GRP = 8
-        for g in range(s_lo, s_hi, GRP):
-            g_hi = min(g + GRP, s_hi)
+        key_ref[...] = jnp.full((disp.shape[0], W), neg_inf, jnp.float32)
+        w_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        r_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        g_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        b_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
 
-            @pl.when((jnp.float32(g_hi - 1) >= m_lo)
-                     & (jnp.float32(g) <= m_hi + 1))
-            def _group(g=g, g_hi=g_hi):
-                best = (key_ref[...], w_ref[...], r_ref_o[...],
-                        g_ref_o[...], b_ref_o[...])
-                for s in range(g, g_hi):
-                    lo = P - s
-                    sl = (slice(None), slice(lo, lo + W))
-                    k = k_all[sl]
-                    frac = frac_all[sl]
-                    z_s = z_all[sl]
-                    is_floor = k == s
-                    is_ceil = (k == s - 1) & ceil_ok[sl]
-                    key = jnp.where(is_ceil, 2.0 + z_s,
-                                    jnp.where(is_floor, z_s, neg_inf))
-                    wgt = jnp.where(is_ceil, frac, 1.0 - frac)
-                    take = key > best[0]
-                    best = (jnp.where(take, key, best[0]),
-                            jnp.where(take, wgt, best[1]),
-                            jnp.where(take, red[sl], best[2]),
-                            jnp.where(take, green[sl], best[3]),
-                            jnp.where(take, blue[sl], best[4]))
-                key_ref[...] = best[0]
-                w_ref[...] = best[1]
-                r_ref_o[...] = best[2]
-                g_ref_o[...] = best[3]
-                b_ref_o[...] = best[4]
+        for c0 in range(0, W, _CHUNK_C):
+            cw = min(_CHUNK_C, W - c0)
+            osl = (slice(None), slice(c0, c0 + cw))
+            # chunk sources: window columns [c0, c0 + cw + 2P) in padded
+            # coords = output columns [c0 - P, c0 + cw + P)
+            ssl = (slice(None), slice(c0, c0 + cw + 2 * P))
+            k_src = k_all[ssl]
+            in_src = in_img[ssl]
+            m_lo = jnp.min(jnp.where(in_src, k_src, jnp.float32(1e9)))
+            m_hi = jnp.max(jnp.where(in_src, k_src, jnp.float32(-1e9)))
+
+            # Predicate GROUPS of shifts, not single ones: the scalar-core
+            # branch chain itself costs ~0.1 us/iteration/cell, which at
+            # ~600 iterations x ~400 cells would eat the predication win.
+            # WITHIN a group the running best is carried as VALUES
+            # (registers); the output refs are only read/written at group
+            # boundaries — per-iteration ref round-trips measured as the
+            # kernel's dominant cost (10 VMEM plane touches per shift).
+            GRP = 8
+            for g in range(s_lo, s_hi, GRP):
+                g_hi = min(g + GRP, s_hi)
+
+                @pl.when((jnp.float32(g_hi - 1) >= m_lo)
+                         & (jnp.float32(g) <= m_hi + 1))
+                def _group(g=g, g_hi=g_hi, c0=c0, cw=cw, osl=osl):
+                    best = (key_ref[osl], w_ref[osl], r_ref_o[osl],
+                            g_ref_o[osl], b_ref_o[osl])
+                    for s in range(g, g_hi):
+                        lo = P - s + c0
+                        sl = (slice(None), slice(lo, lo + cw))
+                        k = k_all[sl]
+                        frac = frac_all[sl]
+                        z_s = z_all[sl]
+                        is_floor = k == s
+                        is_ceil = (k == s - 1) & ceil_ok[sl]
+                        key = jnp.where(is_ceil, 2.0 + z_s,
+                                        jnp.where(is_floor, z_s, neg_inf))
+                        wgt = jnp.where(is_ceil, frac, 1.0 - frac)
+                        take = key > best[0]
+                        best = (jnp.where(take, key, best[0]),
+                                jnp.where(take, wgt, best[1]),
+                                jnp.where(take, red[sl], best[2]),
+                                jnp.where(take, green[sl], best[3]),
+                                jnp.where(take, blue[sl], best[4]))
+                    key_ref[osl] = best[0]
+                    w_ref[osl] = best[1]
+                    r_ref_o[osl] = best[2]
+                    g_ref_o[osl] = best[3]
+                    b_ref_o[osl] = best[4]
 
     run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref))
     run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref))
