@@ -49,11 +49,10 @@ def main():
         ms = 1000.0 * (time.perf_counter() - t0) / (24 * B)
         print(f"{label:40s} {ms:8.1f} ms/eye-frame", flush=True)
 
-    bench("production (smooth=1, sweeps=5, pol=2)", 1.0, 5, 2)
-    bench("no bilateral (smooth=0)", 0.0, 5, 2)
-    bench("sweeps=3", 1.0, 3, 2)
-    bench("polish=1", 1.0, 5, 1)
-    bench("fill only (smooth=0, pol=0)", 0.0, 5, 0)
+    bench("production (smooth=1, sweeps=3, pol=1)", 1.0, 3, 1)
+    bench("no bilateral (smooth=0)", 0.0, 3, 1)
+    bench("bilateral only (sweeps=0, pol=0)", 1.0, 0, 0)
+    bench("copy floor (smooth=0, sw=0, pol=0)", 0.0, 0, 0)
 
 
 if __name__ == "__main__":

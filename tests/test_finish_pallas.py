@@ -18,8 +18,10 @@ def _jnp_reference(img, ratio, strength, out_h, out_w):
 def test_fused_finish_matches_jnp():
     rng = np.random.default_rng(0)
     B, out_h, out_w, ratio = 2, 64, 256, 3
-    img = jnp.asarray((rng.random(
-        (B, out_h * ratio, out_w * ratio, 3)) * 255).astype(np.float32))
+    # u8-valued floats: the entry contract (postprocess emits round/clip
+    # values; the compat wrapper casts to u8 for the planar kernel)
+    img = jnp.asarray(rng.integers(
+        0, 256, (B, out_h * ratio, out_w * ratio, 3)).astype(np.float32))
     ref = _jnp_reference(img, ratio, 4.0, out_h, out_w)
     got = np.asarray(sharpen_downscale(img, ratio, 4.0, out_h, out_w))
     np.testing.assert_allclose(got, ref, atol=1e-2)
@@ -29,8 +31,8 @@ def test_fused_finish_ratio2_ragged_blocks():
     # out dims not multiples of the block size exercise grid padding
     rng = np.random.default_rng(1)
     out_h, out_w, ratio = 48, 300, 2
-    img = jnp.asarray((rng.random(
-        (1, out_h * ratio, out_w * ratio, 3)) * 255).astype(np.float32))
+    img = jnp.asarray(rng.integers(
+        0, 256, (1, out_h * ratio, out_w * ratio, 3)).astype(np.float32))
     ref = _jnp_reference(img, ratio, 8.0, out_h, out_w)
     got = np.asarray(sharpen_downscale(img, ratio, 8.0, out_h, out_w))
     np.testing.assert_allclose(got, ref, atol=1e-2)

@@ -1,4 +1,10 @@
-"""Pallas warp kernel vs the jnp reference implementation (exact match)."""
+"""Pallas warp kernel vs the jnp reference implementation.
+
+The kernel emits floor(clip(., 0, 255)) u8 colors (exact: flooring commutes
+with the winner-take selection, and the postprocess stage's first op is the
+same floor/clip in both paths — ops/stereo._postprocess_eye), so the jnp
+reference colors are floored before comparison; masks must match exactly.
+"""
 
 import jax.numpy as jnp
 import numpy as np
@@ -6,6 +12,12 @@ import pytest
 
 from vsc_tpu.ops.warp import forward_warp_stereo
 from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas
+
+
+def _floor_ref(ref):
+    l, lm, r, rm = ref
+    q = lambda x: jnp.floor(jnp.clip(x, 0.0, 255.0))
+    return q(l), lm, q(r), rm
 
 
 def _inputs(b=2, h=24, w=96, seed=0):
@@ -20,7 +32,7 @@ def _inputs(b=2, h=24, w=96, seed=0):
 @pytest.mark.parametrize("max_disp", [4.0, 9.7])
 def test_pallas_matches_jnp(max_disp):
     img, depth = _inputs()
-    ref = forward_warp_stereo(img, depth, max_disp)
+    ref = _floor_ref(forward_warp_stereo(img, depth, max_disp))
     got = forward_warp_stereo_pallas(img, depth, max_disp)
     for name, r, g in zip(("L", "Lm", "R", "Rm"), ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5,
@@ -30,7 +42,7 @@ def test_pallas_matches_jnp(max_disp):
 def test_pallas_ragged_rows():
     # rows not a multiple of the block size exercise the grid remainder
     img, depth = _inputs(b=1, h=13, w=64, seed=3)
-    ref = forward_warp_stereo(img, depth, 5.0)
+    ref = _floor_ref(forward_warp_stereo(img, depth, 5.0))
     got = forward_warp_stereo_pallas(img, depth, 5.0, block_rows=8)
     for r, g in zip(ref, got):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r), atol=1e-5)

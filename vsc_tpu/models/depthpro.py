@@ -193,6 +193,27 @@ class ConvT2x2(nn.Module):
             # expose the parameter for chain composition (ProjUpsample)
             # without computing; x supplies only the channel count
             return k
+        import os
+        from vsc_tpu.ops.deconv_pallas import (deconv2x2_pallas,
+                                               deconv2x2_supported)
+        # Pallas path (r3): the lhs-dilated conv lowering measured ~5% of
+        # bandwidth roofline; the kernel interleaves in VMEM instead.
+        # MEASURED SLOWER on the axon TPU v5 (depth 152.2 -> 168.1 ms/frame,
+        # /tmp/bench_r3d): Mosaic lowers the [W, 2, O] -> [2W, O] column
+        # interleave as per-element sublane/lane shuffles — the third deconv
+        # reformulation to lose to XLA's conv path in-context (see ProjUpsample
+        # and the ConvT2x2 docstring). Default OFF; VSC_TPU_PALLAS_DECONV=1
+        # opts in. Same SPMD gating as the attention kernel: single-device
+        # TPU programs (a pallas_call is not partitionable under pjit).
+        use_pallas = (os.environ.get("VSC_TPU_PALLAS_DECONV", "0") == "1"
+                      and jax.default_backend() == "tpu"
+                      and jax.device_count() == 1
+                      and deconv2x2_supported(x, self.features))
+        if use_pallas:
+            b = (self.param("bias", nn.initializers.zeros_init(),
+                            (self.features,), jnp.float32)
+                 if self.use_bias else None)
+            return deconv2x2_pallas(x.astype(self.dtype), k, b)
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype), k[::-1, ::-1].astype(self.dtype),
             window_strides=(1, 1), padding=((1, 1), (1, 1)),

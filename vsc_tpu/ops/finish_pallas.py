@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["sharpen_downscale"]
+__all__ = ["sharpen_downscale", "sharpen_downscale_planar"]
 
 OUT_BLOCK_R = 64
 OUT_BLOCK_C = 256
@@ -35,8 +35,13 @@ _HALO = 4  # unsharp 5x5 radius 2, rounded up for 8-row DMA alignment
 
 def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
             kern, nb: int, nr: int, nc: int):
-    """Grid (B, nr, nc). img_ref: [3, B, Hp, Wp] HBM planes, pre-padded
-    reflect-101 (rows by _HALO, cols by 128). Output [3, 1, BR, BC]."""
+    """Grid (B, nr, nc). img_ref: [3, B, Hp, Wp] HBM planes (uint8,
+    pre-padded reflect-101: rows by _HALO, cols by 128), DMA'd as ONE
+    strided copy per block (r3: the three per-plane copies tripled the
+    issue overhead for no bandwidth gain). Output [3, 1, BR, BC] in
+    out_ref.dtype — u8 with floor/clip for the planar path (the exact
+    quantization ops/stereo applies to the final SBS), f32 for the
+    compatibility entry."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -50,8 +55,8 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
 
     def copies(slot_idx, bb, ii, jj):
         return [pltpu.make_async_copy(
-            img_ref.at[k, bb, pl.ds(ii * IBR, WR), pl.ds(jj * IBC, WC)],
-            win_ref.at[slot_idx, k], sem.at[slot_idx, k]) for k in range(3)]
+            img_ref.at[:, bb, pl.ds(ii * IBR, WR), pl.ds(jj * IBC, WC)],
+            win_ref.at[slot_idx], sem.at[slot_idx])]
 
     @pl.when(t == 0)
     def _start_first():
@@ -78,7 +83,8 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
     bw = ((cols_i // ratio) == cols_o).astype(jnp.float32) / ratio
 
     for k in range(3):
-        x = win_ref[slot, k]
+        # u8 -> i32 -> f32: Mosaic has no direct unsigned->float cast
+        x = win_ref[slot, k].astype(jnp.int32).astype(jnp.float32)
         # separable 5x5 gaussian sigma=1 (kornia kernel law); the window's
         # halo holds reflect-101 values, so borders match the jnp path.
         bw_conv = None
@@ -94,9 +100,11 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
 
         tmp = jax.lax.dot_general(bh, sharp, (((1,), (0,)), ((), ())),
                                   preferred_element_type=jnp.float32)
-        out_ref[k, 0] = jax.lax.dot_general(
-            tmp, bw, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+        res = jax.lax.dot_general(tmp, bw, (((1,), (0,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if out_ref.dtype == jnp.uint8:
+            res = jnp.floor(jnp.clip(res, 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+        out_ref[k, 0] = res
 
 
 @functools.partial(jax.jit,
@@ -121,6 +129,30 @@ def sharpen_downscale(img, ratio: int, strength: float,
             x = x[:, :out_h * ratio, :out_w * ratio]
         return resize(x, out_h, out_w, "area",
                       channel_last=True).astype(jnp.float32)
+    planes = jnp.moveaxis(img, -1, 0).astype(jnp.uint8)  # [3, B, H, W]
+    out = _sharpen_downscale_planes(planes, ratio, strength, out_h, out_w,
+                                    jnp.float32)
+    return jnp.moveaxis(out, 0, -1)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("ratio", "strength", "out_h", "out_w"))
+def sharpen_downscale_planar(planes, ratio: int, strength: float,
+                             out_h: int, out_w: int):
+    """Planar-u8 entry (the production TPU eye path): [3, B, H', W'] uint8
+    (cropped, post-postprocess) -> [3, B, out_h, out_w] uint8 with the
+    final floor/clip quantization applied in-kernel (exactly the
+    ``floor(clip(sbs, 0, 255))`` ops/stereo applies to the f32 form)."""
+    K, B, H, W = planes.shape
+    assert K == 3
+    assert W >= 129 and H >= 5, "planar finish expects production frames"
+    return _sharpen_downscale_planes(planes, ratio, strength, out_h, out_w,
+                                     jnp.uint8)
+
+
+def _sharpen_downscale_planes(planes, ratio: int, strength: float,
+                              out_h: int, out_w: int, out_dtype):
+    B = planes.shape[1]
     nr = pl.cdiv(out_h, OUT_BLOCK_R)
     nc = pl.cdiv(out_w, OUT_BLOCK_C)
     IBR = OUT_BLOCK_R * ratio
@@ -128,7 +160,6 @@ def sharpen_downscale(img, ratio: int, strength: float,
     need_r = (nr - 1) * IBR + IBR + 2 * _HALO
     need_c = (nc - 1) * IBC + IBC + 2 * 128
 
-    planes = jnp.moveaxis(img, -1, 0)                    # [3, B, H, W]
     padded = jnp.pad(planes, [(0, 0), (0, 0), (_HALO, _HALO), (128, 128)],
                      mode="reflect")
     pad_r = max(0, need_r - padded.shape[2])
@@ -151,14 +182,13 @@ def sharpen_downscale(img, ratio: int, strength: float,
                                lambda b, i, j: (0, b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (3, B, nr * OUT_BLOCK_R, nc * OUT_BLOCK_C), jnp.float32),
+            (3, B, nr * OUT_BLOCK_R, nc * OUT_BLOCK_C), out_dtype),
         scratch_shapes=[
-            pltpu.VMEM((2, 3, WR, WC), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.VMEM((2, 3, WR, WC), jnp.uint8),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
     )(padded)
-    out = out[:, :, :out_h, :out_w]
-    return jnp.moveaxis(out, 0, -1)
+    return out[:, :, :out_h, :out_w]

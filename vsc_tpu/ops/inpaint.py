@@ -125,6 +125,58 @@ def _pyramid_fill(image, valid, coarse_factor: int = 1,
     return filled
 
 
+def _avgpool2_hw(x):
+    """2x2 average pool over the LAST TWO axes (planar layouts: [..., H, W]).
+    Same strided-slice form as _avgpool2 (see its layout note)."""
+    import jax.numpy as jnp
+    H, W = x.shape[-2], x.shape[-1]
+    Hp, Wp = H + (H & 1), W + (W & 1)
+    if (Hp, Wp) != (H, W):
+        pad = [(0, 0)] * (x.ndim - 2) + [(0, Hp - H), (0, Wp - W)]
+        x = jnp.pad(x, pad, mode="edge")
+    xh = (x[..., 0::2, :] + x[..., 1::2, :]) * 0.5
+    return (xh[..., 0::2] + xh[..., 1::2]) * 0.5
+
+
+def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
+    """Planar-u8 form of ``_pyramid_fill(..., return_coarse=True)``: eye4 is
+    the warp kernel's [4, B, H, W] uint8 (r, g, b, valid) eye. Returns the
+    [3, B, ~H/f, ~W/f] float32 masked push-pull estimate — already in the
+    plane-major layout the fused postprocess kernel DMAs, so no channel
+    interleave of full-resolution tensors ever happens. Matches
+    ``_pyramid_fill(moveaxis(img), valid)`` exactly (same pools, same level
+    schedule, same masked combine)."""
+    import jax.numpy as jnp
+    msk = eye4[3].astype(jnp.float32)                      # [B, H, W]
+    img = eye4[:3].astype(jnp.float32) * msk               # [3, B, H, W]
+    for _ in range(max(coarse_factor, 1).bit_length() - 1):
+        img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
+    levels = []
+    size = max(img.shape[-2], img.shape[-1])
+    while size > 1:
+        levels.append((img, msk))
+        img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
+        size = (size + 1) // 2
+    filled = img / jnp.maximum(msk, 1e-8)
+    for img, msk in reversed(levels):
+        up = _upsample_nearest_hw(filled, img.shape[-2], img.shape[-1], 2)
+        local = img / jnp.maximum(msk, 1e-8)
+        filled = jnp.where(msk > 1e-8, local, up)
+    return filled
+
+
+def _upsample_nearest_hw(x, out_h, out_w, factor: int):
+    """Nearest integer-factor upsample over the last two axes."""
+    import jax.numpy as jnp
+    import numpy as np
+    idx_h = jnp.asarray(np.minimum(np.arange(out_h) // factor,
+                                   x.shape[-2] - 1), jnp.int32)
+    idx_w = jnp.asarray(np.minimum(np.arange(out_w) // factor,
+                                   x.shape[-1] - 1), jnp.int32)
+    x = jnp.take(x, idx_h, axis=x.ndim - 2)
+    return jnp.take(x, idx_w, axis=x.ndim - 1)
+
+
 def _frontier_sweep(val, known):
     """One fill step: every hole pixel with known pixels inside the disc
     takes their inverse-distance-weighted average and becomes known."""

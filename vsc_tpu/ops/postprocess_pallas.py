@@ -13,12 +13,20 @@ fusions — every sweep re-reads full-resolution planes from HBM). Fused,
 HBM traffic drops to ~1 read + 1 write per plane and the VPU runs the
 stencil chain at full arithmetic intensity.
 
+r3 I/O redesign (ablation: the kernel's DMA/overhead floor alone measured
+8.6 ms/eye vs a 0.8 ms bytes bound — the per-block cost was ISSUE count,
+not bytes): the eye arrives as the warp kernel's [4, B, H, W] uint8
+(r, g, b, valid) stack, so each block is ONE strided u8 DMA instead of five
+f32 plane copies; the in-image indicator is computed from iota instead of
+DMA'd; outputs are u8 planes. 16 copy-issues per block became 4.
+
 Boundary semantics (matching the jnp path exactly):
-  - image planes pre-padded reflect-101 (bilateral's border mode),
-  - `valid` zero-padded => out-of-image pixels are UNKNOWN to the fill
-    (matches the jnp constant-0 known-mask padding),
-  - `inimg` indicator zero-padded => the dilated hole mask never extends
-    outside the image (matches the jnp constant-0 hole padding),
+  - the u8 stack is pre-padded reflect-101 (the bilateral's border mode for
+    the color planes); the VALID plane's reflected border is zeroed
+    in-kernel by the iota in-image indicator, which equals the jnp path's
+    constant-0 known-mask padding,
+  - the dilated hole mask is multiplied by the same indicator, so it never
+    extends outside the image (matches the jnp constant-0 hole padding),
   - hole interiors beyond the sweeps' reach take the precomputed pyramid
     `smooth` estimate (same input plane the jnp path uses).
 The only intentional deviation: the Jacobi polish sees reflect-101 border
@@ -40,7 +48,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["postprocess_eye_pallas"]
+__all__ = ["postprocess_eye_pallas", "postprocess_eye_planar_pallas"]
 
 def _disc(radius: int):
     return [(dy, dx, 1.0 / math.hypot(dy, dx))
@@ -96,22 +104,21 @@ def _shift3(a, dy: int, dx: int):
     return a
 
 
-def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
-            out_ref, win_ref, qwin_ref, sem, qsem,
-            *, halo_r: int, halo_c: int, smoothing: float, sweeps: int,
-            polish: int, sigma_color: float, nb: int, nr: int, nc: int,
-            qwin_r: int, qwin_c: int):
-    """Grid: (B, nr, nc). Inputs are [B, Hp, Wp] HBM planes (stacked as a
-    leading axis: imgs carries 3 channel-planes). `smooth_ref` holds the
-    QUARTER-resolution interior estimate (3 planes): the kernel DMAs the
-    quarter window and, only inside the fill branch, expands it 4x nearest
-    via two 0/1 expansion matmuls (MXU, exact) — a full-res smooth plane
-    never exists in HBM.
+def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
+            *, H: int, W: int, halo_r: int, halo_c: int, smoothing: float,
+            sweeps: int, polish: int, sigma_color: float, nb: int, nr: int,
+            nc: int, qwin_r: int, qwin_c: int):
+    """Grid: (B, nr, nc). eye_ref: [4, B, Hp, Wp] uint8 HBM (r, g, b,
+    valid — reflect-padded; see module docstring). `smooth_ref` holds the
+    QUARTER-resolution interior estimate (3 f32 planes): the kernel DMAs
+    the quarter window and, only inside the fill branch, expands it 4x
+    nearest via two 0/1 expansion matmuls (MXU, exact) — a full-res smooth
+    plane never exists in HBM.
 
     The halo windows are DOUBLE-BUFFERED: scratch persists across grid
     steps, so each cell starts the DMA for the NEXT cell's window into the
     other buffer before computing on its own — the halo transfer runs under
-    the stencil compute instead of serializing ~10-25 us per cell."""
+    the stencil compute instead of serializing per cell."""
     b = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -123,23 +130,15 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
     def copies(slot_idx, bb, ii, jj):
         r0 = ii * BLOCK_R
         c0 = jj * BLOCK_C
-        cs = []
-        for k in range(3):
-            cs.append(pltpu.make_async_copy(
-                imgs_ref.at[k, bb, pl.ds(r0, WR), pl.ds(c0, WC)],
-                win_ref.at[slot_idx, k], sem.at[slot_idx, k]))
-        cs.append(pltpu.make_async_copy(
-            valid_ref.at[bb, pl.ds(r0, WR), pl.ds(c0, WC)],
-            win_ref.at[slot_idx, 3], sem.at[slot_idx, 3]))
-        cs.append(pltpu.make_async_copy(
-            inimg_ref.at[bb, pl.ds(r0, WR), pl.ds(c0, WC)],
-            win_ref.at[slot_idx, 4], sem.at[slot_idx, 4]))
-        for k in range(3):
-            cs.append(pltpu.make_async_copy(
-                smooth_ref.at[k, bb, pl.ds(ii * (BLOCK_R // 4), qwin_r),
+        return [
+            pltpu.make_async_copy(
+                eye_ref.at[:, bb, pl.ds(r0, WR), pl.ds(c0, WC)],
+                win_ref.at[slot_idx], sem.at[slot_idx]),
+            pltpu.make_async_copy(
+                smooth_ref.at[:, bb, pl.ds(ii * (BLOCK_R // 4), qwin_r),
                               pl.ds(jj * (BLOCK_C // 4), qwin_c)],
-                qwin_ref.at[slot_idx, k], qsem.at[slot_idx, k]))
-        return cs
+                qwin_ref.at[slot_idx], qsem.at[slot_idx]),
+        ]
 
     @pl.when(t == 0)
     def _start_first():
@@ -157,10 +156,19 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
     for c in copies(slot, b, i, j):
         c.wait()
 
-    chans = [jnp.floor(jnp.clip(win_ref[slot, k], 0.0, 255.0))
-             for k in range(3)]
-    valid = win_ref[slot, 3]
-    inimg = win_ref[slot, 4]
+    # u8 -> i32 -> f32: Mosaic has no direct unsigned->float cast
+    win = win_ref[slot].astype(jnp.int32).astype(jnp.float32)  # [4, WR, WC]
+    chans = [win[k] for k in range(3)]               # u8-valued, no clip
+
+    # in-image indicator from block coordinates (replaces a DMA'd plane):
+    # padded coords (i*BLOCK_R + y, j*BLOCK_C + x); interior where the
+    # coordinate falls inside [halo, halo + dim).
+    gy = (jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 0)
+          + i * BLOCK_R - halo_r)
+    gx = (jax.lax.broadcasted_iota(jnp.int32, (WR, WC), 1)
+          + j * BLOCK_C - halo_c)
+    inimg = ((gy >= 0) & (gy < H) & (gx >= 0) & (gx < W)).astype(jnp.float32)
+    valid = win[3] * inimg                           # zero outside the image
 
     def smooth_plane(k):
         """Quarter window -> full-res window, nearest (u -> u//4), as
@@ -184,7 +192,7 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
         radius = d // 2
         sigma_space = smoothing * 25.0
         inv2sc = -0.5 / (sigma_color * sigma_color)
-        stacked = jnp.stack(chans)                       # [3, WR, WC]
+        stacked = win[:3]                                # [3, WR, WC]
         num = jnp.zeros((3, WR, WC), jnp.float32)
         den = jnp.zeros((WR, WC), jnp.float32)
         for dy, dx in _bilateral_offs(radius):
@@ -214,7 +222,7 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
     for k in range(3):
         out_ref[k, 0] = jnp.round(jnp.clip(
             chans[k][halo_r:halo_r + BLOCK_R, halo_c:halo_c + BLOCK_C],
-            0.0, 255.0))
+            0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
 
     # ---- fill + polish, predicated per 128-COLUMN SUBTILE (r3):
     # disocclusions are near-vertical curves (the warp shifts horizontally),
@@ -302,7 +310,7 @@ def _kernel(imgs_ref, valid_ref, inimg_ref, smooth_ref,
                         jnp.clip(
                             val[k][halo_r:halo_r + BLOCK_R,
                                    halo_c:halo_c + 128],
-                            0.0, 255.0))
+                            0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
 
 
 def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
@@ -317,24 +325,22 @@ def _halo_for(smoothing: float, sweeps: int, polish: int) -> tuple[int, int]:
 
 @functools.partial(jax.jit,
                    static_argnames=("smoothing", "sweeps", "polish"))
-def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
-                           sweeps: int = 3, polish: int = 1):
-    """Fused equivalent of ops.stereo's bilateral+inpaint postprocess.
+def postprocess_eye_planar_pallas(eye4, smooth_q, smoothing: float,
+                                  sweeps: int = 3, polish: int = 1):
+    """Planar-u8 entry (the production TPU path).
 
     Args:
-      warped: [B, H, W, 3] float32 (u8-valued) warped eye.
-      valid_mask: [B, H, W] float32, 1 where a source pixel landed.
-      smooth_q: [B, ~H/4, ~W/4, 3] float32 QUARTER-res interior estimate
-        (ops.inpaint._pyramid_fill(..., coarse_factor=4, return_coarse=True));
-        expanded 4x-nearest on-chip, so dims just need to cover (H-1)//4,
-        (W-1)//4.
+      eye4: [4, B, H, W] uint8 — the warp kernel's (r, g, b, valid) stack.
+      smooth_q: [3, B, ~H/4, ~W/4] float32 QUARTER-res interior estimate
+        (ops.inpaint._pyramid_fill_planar_coarse); expanded 4x-nearest
+        on-chip, so dims just need to cover (H-1)//4, (W-1)//4.
       smoothing: StereoParams.artifact_smoothing (static).
 
-    Returns: [B, H, W, 3] float32 u8-valued postprocessed eye.
+    Returns: [3, B, H, W] uint8 postprocessed eye planes.
     """
-    B, H, W, C = warped.shape
-    assert C == 3
-    assert smooth_q.shape[1] > (H - 1) // 4 and smooth_q.shape[2] > (W - 1) // 4
+    K, B, H, W = eye4.shape
+    assert K == 4
+    assert smooth_q.shape[2] > (H - 1) // 4 and smooth_q.shape[3] > (W - 1) // 4
     halo_r, halo_c = _halo_for(smoothing, sweeps, polish)
     nr = pl.cdiv(H, BLOCK_R)
     nc = pl.cdiv(W, BLOCK_C)
@@ -348,57 +354,72 @@ def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
     Hq_p = (nr - 1) * (BLOCK_R // 4) + qwin_r
     Wq_p = (nc - 1) * (BLOCK_C // 4) + qwin_c
 
-    def pad_plane(x, mode, value=0.0):
-        # reflect-101 needs halo < dim; our shapes are far larger
-        if mode == "reflect":
-            x = jnp.pad(x, [(0, 0), (halo_r, halo_r), (halo_c, halo_c)],
-                        mode="reflect")
-            return jnp.pad(
-                x, [(0, 0), (0, Hp - x.shape[1]), (0, Wp - x.shape[2])])
-        x = jnp.pad(x, [(0, 0), (halo_r, halo_r), (halo_c, halo_c)],
-                    constant_values=value)
-        return jnp.pad(
-            x, [(0, 0), (0, Hp - x.shape[1]), (0, Wp - x.shape[2])],
-            constant_values=value)
+    # ONE reflect pad of the whole u8 stack (the valid plane's reflected
+    # border is cancelled in-kernel by the iota in-image indicator), then a
+    # zero tail out to the aligned grid extent (feeds only trimmed outputs).
+    padded = jnp.pad(eye4, [(0, 0), (0, 0), (halo_r, halo_r),
+                            (halo_c, halo_c)], mode="reflect")
+    padded = jnp.pad(padded, [(0, 0), (0, 0),
+                              (0, Hp - padded.shape[2]),
+                              (0, Wp - padded.shape[3])])
 
     def pad_qplane(x):
-        x = jnp.pad(x, [(0, 0), (halo_r // 4, 0), (halo_c // 4, 0)])
-        x = jnp.pad(x, [(0, 0), (0, max(0, Hq_p - x.shape[1])),
-                        (0, max(0, Wq_p - x.shape[2]))])
-        return x[:, :Hq_p, :Wq_p]
+        x = jnp.pad(x, [(0, 0), (0, 0), (halo_r // 4, 0), (halo_c // 4, 0)])
+        x = jnp.pad(x, [(0, 0), (0, 0), (0, max(0, Hq_p - x.shape[2])),
+                        (0, max(0, Wq_p - x.shape[3]))])
+        return x[:, :, :Hq_p, :Wq_p]
 
-    imgs = jnp.stack([pad_plane(warped[..., k], "reflect") for k in range(3)])
-    valid = pad_plane(valid_mask, "zero")
-    inimg = pad_plane(jnp.ones((B, H, W), jnp.float32), "zero")
-    smooth_p = jnp.stack([pad_qplane(smooth_q[..., k]) for k in range(3)])
+    smooth_p = pad_qplane(smooth_q)
 
     kernel = functools.partial(
-        _kernel, halo_r=halo_r, halo_c=halo_c, smoothing=smoothing,
-        sweeps=sweeps, polish=polish, sigma_color=30.0,
+        _kernel, H=H, W=W, halo_r=halo_r, halo_c=halo_c,
+        smoothing=smoothing, sweeps=sweeps, polish=polish, sigma_color=30.0,
         nb=B, nr=nr, nc=nc, qwin_r=qwin_r, qwin_c=qwin_c)
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(
         kernel,
         grid=(B, nr, nc),
-        in_specs=[hbm, hbm, hbm, hbm],
+        in_specs=[hbm, hbm],
         out_specs=pl.BlockSpec((3, 1, BLOCK_R, BLOCK_C),
                                lambda b, i, j: (0, b, i, j),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((3, B, nr * BLOCK_R, nc * BLOCK_C),
-                                       jnp.float32),
+                                       jnp.uint8),
         scratch_shapes=[
-            pltpu.VMEM((2, 5, WR, WC), jnp.float32),   # double-buffered halos
+            pltpu.VMEM((2, 4, WR, WC), jnp.uint8),     # double-buffered halos
             pltpu.VMEM((2, 3, qwin_r, qwin_c), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, 5)),
-            pltpu.SemaphoreType.DMA((2, 3)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
         # the unrolled stencil chain keeps ~80 block-sized temporaries live;
         # the default 16M scoped-vmem limit is too small (v5e has 128M)
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
-    )(imgs, valid, inimg, smooth_p)
+    )(padded, smooth_p)
 
-    out = out[:, :, :H, :W]                       # trim block padding
-    return jnp.moveaxis(out, 0, -1)               # [B, H, W, 3]
+    return out[:, :, :H, :W]                      # trim block padding
+
+
+def postprocess_eye_pallas(warped, valid_mask, smooth_q, smoothing: float,
+                           sweeps: int = 3, polish: int = 1):
+    """Channel-last f32 compatibility entry (tests / non-planar callers).
+
+    Args:
+      warped: [B, H, W, 3] float32 (u8-valued) warped eye.
+      valid_mask: [B, H, W] float32, 1 where a source pixel landed.
+      smooth_q: [B, ~H/4, ~W/4, 3] float32 quarter-res interior estimate.
+
+    Returns: [B, H, W, 3] float32 u8-valued postprocessed eye. The entry
+    quantization floor(clip(., 0, 255)) is applied here (it is the planar
+    kernel's input contract and the first op of the jnp path alike).
+    """
+    eye4 = jnp.concatenate([
+        jnp.moveaxis(jnp.floor(jnp.clip(warped, 0.0, 255.0)), -1, 0),
+        (valid_mask > 0).astype(jnp.float32)[None],
+    ], axis=0).astype(jnp.uint8)
+    smooth_planar = jnp.moveaxis(smooth_q, -1, 0)
+    out = postprocess_eye_planar_pallas(eye4, smooth_planar, smoothing,
+                                        sweeps=sweeps, polish=polish)
+    return jnp.moveaxis(out.astype(jnp.float32), 0, -1)

@@ -198,9 +198,13 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     # the warp kernel both consume planes, so no channel-minor relayout of
     # the 9x-supersampled tensor ever happens (the channel-last moveaxis
     # at these shapes costs more than the upsample itself).
+    # VSC_TPU_SBS=planar forces the planar kernels off-TPU (interpret-mode
+    # test coverage of the composed pipeline).
+    on_tpu = (jax.default_backend() == "tpu"
+              or os.environ.get("VSC_TPU_SBS") == "planar")
     planar = (params.super_sampling > 1.0
               and os.environ.get("VSC_TPU_WARP") != "jnp"
-              and jax.default_backend() == "tpu")
+              and on_tpu)
     rgb_cf = None
     if params.super_sampling > 1.0:
         depth_n = resize(depth_n, s["up_h"], s["up_w"], "bilinear")
@@ -221,6 +225,55 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     if params.depth_gamma != 1.0:
         depth_n = jnp.clip(depth_n, 0.001, 1.0) ** params.depth_gamma
 
+    lo, ro, crop_w = _crop_offsets(H, W, params)
+    eye_offsets = jnp.asarray([lo, ro], jnp.int32)
+
+    # Fused unsharp+box-downscale kernel (ops/finish_pallas.py): TPU default
+    # for integer supersampling ratios (measured -9 ms/frame at 1080p
+    # defaults once it processed all 3 channels per cell with prefetched
+    # halo DMA; the round-1 per-channel serial-DMA version was neutral).
+    # VSC_TPU_FINISH=jnp opts out.
+    ratio = s["scale_ratio"]
+    fused_finish = (params.super_sampling > 1.0
+                    and float(ratio).is_integer()
+                    and os.environ.get("VSC_TPU_FINISH") != "jnp"
+                    and on_tpu)
+
+    # Planar-u8 eye pipeline (r3): when every post-warp stage has a fused
+    # kernel, the eyes stay [4/3, B, H', W'] uint8 planes from the warp
+    # kernel's output to the final downscale — no f32 eye planes and no
+    # channel interleave of supersampled tensors ever reach HBM (the
+    # channel-last f32 round trips were ~40% of the stage's measured time).
+    # Semantics are exact: the u8 quantization points are precisely where
+    # both the jnp path and the oracle truncate (_postprocess_eye entry /
+    # final SBS floor).
+    planar_u8 = (planar and fused_finish
+                 and os.environ.get("VSC_TPU_POSTPROCESS") != "jnp")
+    if planar_u8:
+        from vsc_tpu.ops.finish_pallas import sharpen_downscale_planar
+        from vsc_tpu.ops.inpaint import _pyramid_fill_planar_coarse
+        from vsc_tpu.ops.postprocess_pallas import (
+            postprocess_eye_planar_pallas)
+        from vsc_tpu.ops.warp_pallas import (
+            forward_warp_stereo_pallas_planar_u8)
+
+        eye_l, eye_r = forward_warp_stereo_pallas_planar_u8(
+            rgb_cf, depth_n, params.max_disparity)
+
+        def eye_body_u8(args):
+            eye4, off = args                       # [4, B, H', W'] u8
+            smooth_q = _pyramid_fill_planar_coarse(eye4)
+            out = postprocess_eye_planar_pallas(
+                eye4, smooth_q, params.artifact_smoothing)
+            out = jax.lax.dynamic_slice_in_dim(out, off, crop_w, axis=3)
+            return sharpen_downscale_planar(
+                out, int(ratio), float(params.sharpen), H, W)
+
+        finals = jax.lax.map(eye_body_u8,
+                             (jnp.stack([eye_l, eye_r]), eye_offsets))
+        sbs = jnp.concatenate([finals[0], finals[1]], axis=3)
+        return jnp.moveaxis(sbs, 0, -1)            # [B, H, 2W, 3] u8
+
     # 6. forward warp
     if planar:
         from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas_planar
@@ -235,21 +288,8 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     # postprocess temporaries are live at a time (the concurrent form
     # roughly doubles peak HBM, which overflows at 1080p supersampled
     # shapes).
-    lo, ro, crop_w = _crop_offsets(H, W, params)
     eyes_img = jnp.stack([left, right])          # [2, B, H', W', 3]
     eyes_mask = jnp.stack([left_mask, right_mask])
-    eye_offsets = jnp.asarray([lo, ro], jnp.int32)
-
-    # Fused unsharp+box-downscale kernel (ops/finish_pallas.py): TPU default
-    # for integer supersampling ratios (measured -9 ms/frame at 1080p
-    # defaults once it processed all 3 channels per cell with prefetched
-    # halo DMA; the round-1 per-channel serial-DMA version was neutral).
-    # VSC_TPU_FINISH=jnp opts out.
-    ratio = s["scale_ratio"]
-    fused_finish = (params.super_sampling > 1.0
-                    and float(ratio).is_integer()
-                    and os.environ.get("VSC_TPU_FINISH") != "jnp"
-                    and jax.default_backend() == "tpu")
 
     def eye_body(args):
         img, msk, off = args

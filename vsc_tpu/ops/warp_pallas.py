@@ -31,7 +31,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["forward_warp_stereo_pallas", "forward_warp_stereo_pallas_planar"]
+__all__ = ["forward_warp_stereo_pallas", "forward_warp_stereo_pallas_planar",
+           "forward_warp_stereo_pallas_planar_u8"]
 
 _SENTINEL = -3.0e4  # disparity sentinel for padded columns (floor != any s)
 
@@ -44,10 +45,17 @@ _CHUNK_C = int(os.environ.get("VSC_TPU_WARP_CHUNK", "512"))
 
 
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
+                 left_ref, right_ref,
                  lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref,
                  rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref,
                  *, W: int, P: int, D: int, inv_max_disp: float):
-    """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs: [TH, W].
+    """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs left/right:
+    [4, TH, W] uint8 (r, g, b, mask) — the warped colors are floored to u8
+    IN the kernel (exact: flooring commutes with winner-take selection, and
+    floor/clip is the postprocess stage's first op in both paths,
+    ops/stereo._postprocess_eye), and the key/weight working planes never
+    leave VMEM (they are scratch, not outputs): HBM writes drop 10x f32 ->
+    8x u8 per row-block.
 
     The shift loop is predicated per COLUMN CHUNK (r3): a full-width row
     strip of scene-like depth spans most of the disparity range, so
@@ -64,7 +72,7 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
 
     neg_inf = jnp.float32(-jnp.inf)
 
-    def run_eye(sign, s_lo, s_hi, refs):
+    def run_eye(sign, s_lo, s_hi, refs, out_ref):
         key_ref, w_ref, r_ref_o, g_ref_o, b_ref_o = refs
         # Loop-invariant planes, computed ONCE per block per eye: the shift
         # loop below then only slices + compares (the floor/frac/mul chain
@@ -133,8 +141,17 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                     g_ref_o[osl] = best[3]
                     b_ref_o[osl] = best[4]
 
-    run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref))
-    run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref))
+        # epilogue: floored u8 colors + validity mask, written once
+        for k, cref in enumerate((r_ref_o, g_ref_o, b_ref_o)):
+            out_ref[k] = jnp.floor(
+                jnp.clip(cref[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
+        mask = (w_ref[...] > 0.1) & (key_ref[...] > neg_inf)
+        out_ref[3] = mask.astype(jnp.int32).astype(jnp.uint8)
+
+    run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref),
+            left_ref)
+    run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref),
+            right_ref)
 
 
 def _auto_block_rows(width: int, pad: int) -> int:
@@ -169,7 +186,8 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
     B, H, W, C = image.shape
     assert C == 3, "pallas warp kernel expects RGB"
     planes = [image[..., c] for c in range(3)]
-    return _warp_planes(planes, depth, max_disparity, block_rows)
+    eye_l, eye_r = _warp_planes(planes, depth, max_disparity, block_rows)
+    return _unpack_eyes(eye_l, eye_r)
 
 
 @functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
@@ -181,7 +199,36 @@ def forward_warp_stereo_pallas_planar(image_cf, depth, max_disparity: float,
     B, C, H, W = image_cf.shape
     assert C == 3, "pallas warp kernel expects RGB"
     planes = [image_cf[:, c] for c in range(3)]
+    eye_l, eye_r = _warp_planes(planes, depth, max_disparity, block_rows)
+    return _unpack_eyes(eye_l, eye_r)
+
+
+@functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
+def forward_warp_stereo_pallas_planar_u8(image_cf, depth,
+                                         max_disparity: float,
+                                         block_rows: int | None = None):
+    """Planar-u8 fast path: image_cf [B, 3, H, W] float32 -> two
+    [4, B, H, W] uint8 eyes (r, g, b, mask) with NO channel interleave and
+    no f32 eye planes in HBM — the layout ops/stereo.py's TPU eye pipeline
+    (fused postprocess + finish) consumes directly. Colors are
+    floor(clip(., 0, 255)) of the selected source pixel, identical to what
+    the postprocess stage's entry quantization produces from the f32 API."""
+    B, C, H, W = image_cf.shape
+    assert C == 3, "pallas warp kernel expects RGB"
+    planes = [image_cf[:, c] for c in range(3)]
     return _warp_planes(planes, depth, max_disparity, block_rows)
+
+
+def _unpack_eyes(eye_l, eye_r):
+    """[4, rows, W] u8 pair -> the classic channel-last f32 API
+    (left, left_mask, right, right_mask). Test/compat surface; the
+    production TPU path consumes the u8 planes directly."""
+    def one(eye):
+        img = jnp.moveaxis(eye[:3].astype(jnp.float32), 0, -1)
+        return img, eye[3].astype(jnp.float32)
+    li, lm = one(eye_l)
+    ri, rm = one(eye_r)
+    return li, lm, ri, rm
 
 
 def _warp_planes(planes, depth, max_disparity: float,
@@ -205,18 +252,20 @@ def _warp_planes(planes, depth, max_disparity: float,
 
     in_spec = pl.BlockSpec((block_rows, W + 2 * P), lambda i: (i, 0),
                            memory_space=pltpu.VMEM)
-    out_spec = pl.BlockSpec((block_rows, W), lambda i: (i, 0),
+    out_spec = pl.BlockSpec((4, block_rows, W), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-    out_shape = [jax.ShapeDtypeStruct((rows, W), jnp.float32)] * 10
+    out_shape = [jax.ShapeDtypeStruct((4, rows, W), jnp.uint8)] * 2
+    scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * 10
 
-    outs = pl.pallas_call(
+    eye_l, eye_r = pl.pallas_call(
         functools.partial(_warp_kernel, W=W, P=P, D=D,
                           inv_max_disp=1.0 / max_disparity
                           if max_disparity > 0 else 0.0),
         grid=grid,
         in_specs=[in_spec] * 4,
-        out_specs=[out_spec] * 10,
+        out_specs=[out_spec] * 2,
         out_shape=out_shape,
+        scratch_shapes=scratch,
         # 24-row blocks exceed the default 16M scoped-vmem stack limit
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -224,13 +273,4 @@ def _warp_planes(planes, depth, max_disparity: float,
         interpret=jax.default_backend() != "tpu",
     )(disp_p, *planes_p)
 
-    (lk, lw, lr, lg, lb, rk, rw, rr, rg, rb) = outs
-
-    def pack(key, wgt, r, g, b):
-        img = jnp.stack([r, g, b], axis=-1).reshape(B, H, W, 3)
-        mask = ((wgt > 0.1) & (key > -jnp.inf)).astype(jnp.float32)
-        return img, mask.reshape(B, H, W)
-
-    left, left_mask = pack(lk, lw, lr, lg, lb)
-    right, right_mask = pack(rk, rw, rr, rg, rb)
-    return left, left_mask, right, right_mask
+    return (eye_l.reshape(4, B, H, W), eye_r.reshape(4, B, H, W))
