@@ -41,7 +41,8 @@ _BLOCK_C = 512
 
 
 def _kernel(x_ref, o_ref, win_ref, sem, *, taps, block_r: int, block_c: int,
-            win_r: int, win_c: int, nn: int, nr: int, nc: int):
+            win_r: int, win_c: int, nn: int, nr: int, nc: int,
+            gamma):
     n = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -76,15 +77,21 @@ def _kernel(x_ref, o_ref, win_ref, sem, *, taps, block_r: int, block_c: int,
     for k, kt in enumerate(taps):            # cols pass
         term = kt * rows[:, k:k + block_c]
         out = term if out is None else out + term
+    if gamma is not None:
+        # fused depth-gamma epilogue (stereo stage 5): saves a full-res
+        # round-trip between the blur and the warp
+        out = jnp.clip(out, 0.001, 1.0) ** gamma
     o_ref[0] = out
 
 
-@functools.partial(jax.jit, static_argnames=("ksize", "sigma"))
-def gaussian_blur_pallas(img, ksize: int, sigma: float):
+@functools.partial(jax.jit, static_argnames=("ksize", "sigma", "gamma"))
+def gaussian_blur_pallas(img, ksize: int, sigma: float, gamma=None):
     """Fused separable gaussian blur on [..., H, W] float32 planes.
 
     Exact drop-in for filters.gaussian_blur(img, ksize, sigma) (channel
-    planes folded into the leading axes by the caller).
+    planes folded into the leading axes by the caller). ``gamma`` fuses the
+    stereo pipeline's depth-gamma stage (clip(x, 0.001, 1) ** gamma) into
+    the kernel epilogue.
     """
     *lead, H, W = img.shape
     N = 1
@@ -109,7 +116,7 @@ def gaussian_blur_pallas(img, ksize: int, sigma: float):
     out = pl.pallas_call(
         functools.partial(_kernel, taps=taps, block_r=block_r,
                           block_c=block_c, win_r=win_r, win_c=win_c,
-                          nn=N, nr=nr, nc=nc),
+                          nn=N, nr=nr, nc=nc, gamma=gamma),
         grid=(N, nr, nc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, block_r, block_c),

@@ -48,12 +48,17 @@ def _reflect_pad_hw(img, ph: int, pw: int, channel_last: bool):
     return jnp.pad(img, pads, mode="reflect")
 
 
-def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False):
+def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False,
+                  gamma=None):
     """Separable gaussian blur with reflect-101 padding; spatial dims are the
     last two axes (or (-3,-2) with channel_last). On TPU this dispatches to
     the fused Pallas kernel (ops/blur_pallas.py, bit-exact same tap order);
     elsewhere (or with VSC_TPU_BLUR=jnp) a static shift-and-accumulate over
-    the (<=31-tap) kernel — pure VPU work with a tiny constant table."""
+    the (<=31-tap) kernel — pure VPU work with a tiny constant table.
+
+    ``gamma`` applies clip(x, 0.001, 1) ** gamma after the blur (the stereo
+    pipeline's depth-gamma stage) — fused into the Pallas kernel's epilogue
+    on TPU, an ordinary trailing op on the jnp path."""
     import os
 
     import jax
@@ -71,7 +76,7 @@ def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False):
         x = img.astype(jnp.float32)
         if channel_last:
             x = jnp.moveaxis(x, -1, -3)
-        out = gaussian_blur_pallas(x, ksize, sigma)
+        out = gaussian_blur_pallas(x, ksize, sigma, gamma=gamma)
         if channel_last:
             out = jnp.moveaxis(out, -3, -1)
         return out.astype(dt)
@@ -93,6 +98,8 @@ def gaussian_blur(img, ksize: int, sigma: float, channel_last: bool = False):
 
     out = conv_axis(padded, h_axis, H)
     out = conv_axis(out, w_axis, W)
+    if gamma is not None:
+        out = jnp.clip(out, 0.001, 1.0) ** gamma
     return out
 
 

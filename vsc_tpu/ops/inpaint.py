@@ -146,11 +146,48 @@ def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
     interleave of full-resolution tensors ever happens. Matches
     ``_pyramid_fill(moveaxis(img), valid)`` exactly (same pools, same level
     schedule, same masked combine)."""
+    import os
+
+    import jax
     import jax.numpy as jnp
-    msk = eye4[3].astype(jnp.float32)                      # [B, H, W]
-    img = eye4[:3].astype(jnp.float32) * msk               # [3, B, H, W]
-    for _ in range(max(coarse_factor, 1).bit_length() - 1):
-        img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
+
+    def _edge_even(x):
+        h, w = x.shape[-2], x.shape[-1]
+        if (h | w) & 1:
+            pad = [(0, 0)] * (x.ndim - 2) + [(0, h & 1), (0, w & 1)]
+            x = jnp.pad(x, pad, mode="edge")
+        return x
+
+    n_pre = max(coarse_factor, 1).bit_length() - 1
+    # The full/half-res pool levels dominate the prepass (7.5 ms/eye as XLA
+    # stride-2 shuffles, profile_postprocess_planar.py) — Pallas kernels on
+    # TPU; the quarter-res-and-below pyramid stays jnp (tiny tensors).
+    use_pallas = ((jax.default_backend() == "tpu"
+                   or os.environ.get("VSC_TPU_SBS") == "planar")
+                  and os.environ.get("VSC_TPU_POOL") != "jnp"
+                  and n_pre >= 1
+                  and eye4.shape[2] % 2 == 0 and eye4.shape[3] % 2 == 0)
+    if use_pallas:
+        from vsc_tpu.ops.pool_pallas import (avgpool2, avgpool2_eye4,
+                                             avgpool4_eye4)
+        if (n_pre == 2 and eye4.shape[2] % 4 == 0
+                and eye4.shape[3] % 4 == 0):
+            # production path (coarse_factor=4): both levels in one kernel,
+            # the half-res intermediate never reaches HBM
+            x = avgpool4_eye4(eye4)                        # [4, B, H/4, W/4]
+        else:
+            x = avgpool2_eye4(eye4)                        # [4, B, H/2, W/2]
+            for _ in range(n_pre - 1):
+                x = _edge_even(x)
+                K, B, h, w = x.shape
+                x = avgpool2(x.reshape(K * B, h, w)).reshape(K, B, h // 2,
+                                                             w // 2)
+        img, msk = x[:3], x[3]
+    else:
+        msk = eye4[3].astype(jnp.float32)                  # [B, H, W]
+        img = eye4[:3].astype(jnp.float32) * msk           # [3, B, H, W]
+        for _ in range(n_pre):
+            img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
     levels = []
     size = max(img.shape[-2], img.shape[-1])
     while size > 1:

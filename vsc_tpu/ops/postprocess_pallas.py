@@ -72,7 +72,9 @@ _POLISH_OFFS = _disc(_POLISH_RADIUS)
 # 512: the quarter-res smooth window start (BLOCK_C/4 per cell) must stay
 # 128-lane aligned. Bigger blocks (256x1024) OOM vmem: the stencil chain
 # keeps ~100 live block temporaries (137 MB of register spills).
-BLOCK_R = 64
+import os
+
+BLOCK_R = int(os.environ.get("VSC_TPU_PP_BLOCK_R", "64"))
 BLOCK_C = 512
 
 

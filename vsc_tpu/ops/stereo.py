@@ -205,25 +205,48 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     planar = (params.super_sampling > 1.0
               and os.environ.get("VSC_TPU_WARP") != "jnp"
               and on_tpu)
+    # Planar-u8 gating decided up front (stage 3 fuses the warp input
+    # quantization into the supersample kernel when it holds).
+    ratio = s["scale_ratio"]
+    _ff = (params.super_sampling > 1.0 and float(ratio).is_integer()
+           and os.environ.get("VSC_TPU_FINISH") != "jnp" and on_tpu)
+    planar_u8 = (planar and _ff
+                 and os.environ.get("VSC_TPU_POSTPROCESS") != "jnp")
     rgb_cf = None
     if params.super_sampling > 1.0:
         depth_n = resize(depth_n, s["up_h"], s["up_w"], "bilinear")
         if planar:
             import jax.numpy as _jnp
-            rgb_cf = resize(_jnp.moveaxis(rgb_st, -1, 1),
-                            s["up_h"], s["up_w"], "bilinear")
+            x_cf = _jnp.moveaxis(rgb_st, -1, 1)
+            SW = s["stretched_w"]
+            f_ok = (planar_u8 and s["up_h"] % H == 0 and s["up_w"] % SW == 0
+                    and s["up_h"] // H == s["up_w"] // SW
+                    and os.environ.get("VSC_TPU_UPSAMPLE") != "jnp")
+            if f_ok:
+                # u8 straight out of the supersample kernel: the warp's
+                # input quantization (floor commutes with its winner-take
+                # selection) fused into the upsample epilogue — the 9x
+                # supersampled f32 RGB never reaches HBM.
+                from vsc_tpu.ops.upsample_pallas import (
+                    upsample_bilinear_int_pallas)
+                rgb_cf = upsample_bilinear_int_pallas(
+                    x_cf.reshape((-1,) + x_cf.shape[2:]),
+                    s["up_h"] // H, quantize_u8=True,
+                ).reshape(x_cf.shape[:2] + (s["up_h"], s["up_w"]))
+            else:
+                rgb_cf = resize(x_cf, s["up_h"], s["up_w"], "bilinear")
         else:
             rgb_st = resize(rgb_st, s["up_h"], s["up_w"], "bilinear",
                             channel_last=True)
 
-    # 4. edge softening
+    # 4-5. edge softening + depth gamma (fused into the blur kernel's
+    # epilogue on the Pallas path; an ordinary trailing op on jnp)
+    gam = params.depth_gamma if params.depth_gamma != 1.0 else None
     if params.edge_softness > 0:
         k = max(5, min(int(params.edge_softness * 6) | 1, 31))
-        depth_n = gaussian_blur(depth_n, k, params.edge_softness)
-
-    # 5. depth gamma
-    if params.depth_gamma != 1.0:
-        depth_n = jnp.clip(depth_n, 0.001, 1.0) ** params.depth_gamma
+        depth_n = gaussian_blur(depth_n, k, params.edge_softness, gamma=gam)
+    elif gam is not None:
+        depth_n = jnp.clip(depth_n, 0.001, 1.0) ** gam
 
     lo, ro, crop_w = _crop_offsets(H, W, params)
     eye_offsets = jnp.asarray([lo, ro], jnp.int32)
@@ -233,11 +256,7 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     # defaults once it processed all 3 channels per cell with prefetched
     # halo DMA; the round-1 per-channel serial-DMA version was neutral).
     # VSC_TPU_FINISH=jnp opts out.
-    ratio = s["scale_ratio"]
-    fused_finish = (params.super_sampling > 1.0
-                    and float(ratio).is_integer()
-                    and os.environ.get("VSC_TPU_FINISH") != "jnp"
-                    and on_tpu)
+    fused_finish = _ff
 
     # Planar-u8 eye pipeline (r3): when every post-warp stage has a fused
     # kernel, the eyes stay [4/3, B, H', W'] uint8 planes from the warp
@@ -247,8 +266,6 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     # Semantics are exact: the u8 quantization points are precisely where
     # both the jnp path and the oracle truncate (_postprocess_eye entry /
     # final SBS floor).
-    planar_u8 = (planar and fused_finish
-                 and os.environ.get("VSC_TPU_POSTPROCESS") != "jnp")
     if planar_u8:
         from vsc_tpu.ops.finish_pallas import sharpen_downscale_planar
         from vsc_tpu.ops.inpaint import _pyramid_fill_planar_coarse

@@ -61,7 +61,8 @@ def _band(n_out: int, n_in_win: int, base_out: int, base_in, f: int,
 
 
 def _kernel(x_ref, o_ref, win_ref, sem, *, f: int, H: int, W: int,
-            win_r: int, win_c: int, nn: int, nr: int, nc: int):
+            win_r: int, win_c: int, nn: int, nr: int, nc: int,
+            quantize_u8: bool):
     n = pl.program_id(0)
     i = pl.program_id(1)
     j = pl.program_id(2)
@@ -101,14 +102,24 @@ def _kernel(x_ref, o_ref, win_ref, sem, *, f: int, H: int, W: int,
     C = _band(BLOCK_C, win_c, j * BLOCK_C, in_c0(j), f, W, transpose=True)
     rows = jax.lax.dot_general(R, win, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    o_ref[0] = jax.lax.dot_general(rows, C, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+    res = jax.lax.dot_general(rows, C, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    if quantize_u8:
+        # fused floor-to-u8 (the warp input quantization point; exact —
+        # flooring commutes with the warp's winner-take selection)
+        res = jnp.floor(jnp.clip(res, 0.0, 255.0)).astype(
+            jnp.int32).astype(jnp.uint8)
+    o_ref[0] = res
 
 
-@functools.partial(jax.jit, static_argnames=("factor",))
-def upsample_bilinear_int_pallas(x, factor: int):
+@functools.partial(jax.jit, static_argnames=("factor", "quantize_u8"))
+def upsample_bilinear_int_pallas(x, factor: int, quantize_u8: bool = False):
     """[N, H, W] f32 -> [N, H*f, W*f], bilinear, torch align_corners=False
-    semantics (drop-in for the resize() integer-factor path)."""
+    semantics (drop-in for the resize() integer-factor path).
+
+    quantize_u8 fuses floor(clip(., 0, 255)) -> uint8 into the kernel
+    epilogue (the planar-u8 stereo path's warp input quantization): the
+    supersampled f32 planes never reach HBM."""
     N, H, W = x.shape
     f = factor
     OH, OW = H * f, W * f
@@ -128,14 +139,15 @@ def upsample_bilinear_int_pallas(x, factor: int):
 
     out = pl.pallas_call(
         functools.partial(_kernel, f=f, H=H, W=W, win_r=win_r, win_c=win_c,
-                          nn=N, nr=nr, nc=nc),
+                          nn=N, nr=nr, nc=nc, quantize_u8=quantize_u8),
         grid=(N, nr, nc),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((1, BLOCK_R, BLOCK_C),
                                lambda n, i, j: (n, i, j),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((N, nr * BLOCK_R, nc * BLOCK_C),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct(
+            (N, nr * BLOCK_R, nc * BLOCK_C),
+            jnp.uint8 if quantize_u8 else jnp.float32),
         scratch_shapes=[
             pltpu.VMEM((2, win_r, win_c), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),

@@ -66,9 +66,18 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     chunk computes its range over its source span and runs the group loop
     independently, reading/writing only its own output slice."""
     disp = disp_ref[...]
-    red = r_ref[...]
-    green = g_ref[...]
-    blue = b_ref[...]
+
+    def _f32(ref):
+        # color planes arrive u8 on the planar path (i32 hop: Mosaic has
+        # no direct unsigned->float cast) or f32 from the compat entries
+        v = ref[...]
+        if v.dtype != jnp.float32:
+            v = v.astype(jnp.int32).astype(jnp.float32)
+        return v
+
+    red = _f32(r_ref)
+    green = _f32(g_ref)
+    blue = _f32(b_ref)
 
     neg_inf = jnp.float32(-jnp.inf)
 
