@@ -172,8 +172,9 @@ def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
                                              avgpool4_eye4)
         if (n_pre == 2 and eye4.shape[2] % 4 == 0
                 and eye4.shape[3] % 4 == 0):
-            # production path (coarse_factor=4): both levels in one kernel,
-            # the half-res intermediate never reaches HBM
+            # both levels in one kernel when dims allow (the half-res
+            # intermediate never reaches HBM); production 1080p geometry
+            # (W'=6090) is only even, so it takes the two-level path below
             x = avgpool4_eye4(eye4)                        # [4, B, H/4, W/4]
         else:
             x = avgpool2_eye4(eye4)                        # [4, B, H/2, W/2]

@@ -75,7 +75,7 @@ _POLISH_OFFS = _disc(_POLISH_RADIUS)
 import os
 
 BLOCK_R = int(os.environ.get("VSC_TPU_PP_BLOCK_R", "64"))
-BLOCK_C = 512
+BLOCK_C = int(os.environ.get("VSC_TPU_PP_BLOCK_C", "512"))
 
 
 def _bilateral_offs(radius: int):

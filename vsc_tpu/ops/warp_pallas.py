@@ -43,6 +43,11 @@ import os
 # measured best vs 256 at production widths — see BASELINE.md r3 notes)
 _CHUNK_C = int(os.environ.get("VSC_TPU_WARP_CHUNK", "512"))
 
+# shifts per predicated group: the running best is register-carried within
+# a group, refs touched only at group boundaries; larger groups cut ref
+# round-trips but predicate coarser (8 measured best of {8,12,16} on v5e)
+_GRP = int(os.environ.get("VSC_TPU_WARP_GRP", "8"))
+
 
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                  left_ref, right_ref,
@@ -118,7 +123,7 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
             # (registers); the output refs are only read/written at group
             # boundaries — per-iteration ref round-trips measured as the
             # kernel's dominant cost (10 VMEM plane touches per shift).
-            GRP = 8
+            GRP = _GRP
             for g in range(s_lo, s_hi, GRP):
                 g_hi = min(g + GRP, s_hi)
 
