@@ -310,26 +310,37 @@ def measure_extras(frames, run_depth, run_sbs, batch, iters, sync,
         # Two passes over distinct workflows: the first compiles the stub
         # depth/SBS programs at stream shapes, the second measures the
         # steady state a long conversion actually runs at.
-        from vsc_tpu.config import load_config
+        from vsc_tpu.config import load_config, save_config
         from vsc_tpu.pipeline import stream_convert
         from vsc_tpu.pipeline.workflow_init import init_workflow
-        n_stream = 4 * max(batch, 16)
+        n_stream = 2 * max(batch, 16)
         sclip = tmp / "stream_clip.mkv"
         subprocess.run(
             [str(binary), "makevideo", "--output", str(sclip), "--width",
              str(W), "--height", str(H), "--frames", str(n_stream),
              "--framerate", "24"], check=True, capture_output=True)
-        warm = init_workflow(clip, tmp / "wf_warm")
-        stream_convert.run(warm, load_config(warm), batch_size=batch,
+
+        def _wf(video, name):
+            # preset ultrafast: this sandbox has ONE cpu core and x265
+            # preset=slow sustains ~0.25 fps on it (BASELINE.md "Host-side
+            # encode ceiling") — at the default preset the measurement
+            # reads the encoder, not the pipeline. Labeled in the key.
+            w = init_workflow(video, tmp / name)
+            cfg = load_config(w)
+            cfg["encoding"]["preset"] = "ultrafast"
+            save_config(w, cfg)
+            return w, cfg
+
+        warm, warm_cfg = _wf(clip, "wf_warm")
+        stream_convert.run(warm, warm_cfg, batch_size=batch,
                            model_name="stub", concat=False)
-        wf = init_workflow(sclip, tmp / "wf")
+        wf, cfg = _wf(sclip, "wf")
         t0 = _t.perf_counter()
-        ok = stream_convert.run(wf, load_config(wf),
-                                batch_size=batch, model_name="stub",
-                                concat=False)
+        ok = stream_convert.run(wf, cfg, batch_size=batch,
+                                model_name="stub", concat=False)
         wall = _t.perf_counter() - t0
         if ok:
-            extras["stream_convert_fps_stub_depth"] = round(
+            extras["stream_convert_fps_stub_depth_x265ultrafast"] = round(
                 n_stream / wall, 3)
     except Exception as e:  # extras must never sink the headline metric
         extras["extras_error"] = f"{type(e).__name__}: {e}"
