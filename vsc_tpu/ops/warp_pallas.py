@@ -51,16 +51,25 @@ _GRP = int(os.environ.get("VSC_TPU_WARP_GRP", "8"))
 
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                  left_ref, right_ref,
-                 lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref,
-                 rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref,
+                 lkey_ref, lfrac_ref, lpk_ref,
+                 rkey_ref, rfrac_ref, rpk_ref,
                  *, W: int, P: int, D: int, inv_max_disp: float):
     """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs left/right:
     [4, TH, W] uint8 (r, g, b, mask) — the warped colors are floored to u8
-    IN the kernel (exact: flooring commutes with winner-take selection, and
-    floor/clip is the postprocess stage's first op in both paths,
-    ops/stereo._postprocess_eye), and the key/weight working planes never
+    IN the kernel (exact: the winner-take selection depends only on depth,
+    never on color values, so flooring before the scan equals the API's
+    floor-after; floor/clip is also the postprocess stage's first op in
+    both paths, ops/stereo._postprocess_eye), and the working planes never
     leave VMEM (they are scratch, not outputs): HBM writes drop 10x f32 ->
     8x u8 per row-block.
+
+    The scan carries THREE planes per eye (r3 packing): the floored u8
+    colors pack exactly into one f32 (r + 256 g + 65536 b <= 2^24 - 1),
+    and the winner's blend weight is recoverable in the epilogue from the
+    carried source frac plus the key's class band (ceil-class keys live in
+    [2, 3], floor-class in [0, 1]) — so each shift pays 3 selects instead
+    of the 5 of a (key, weight, r, g, b) carry, and group-boundary ref
+    round-trips (the kernel's measured round-1 dominant cost) drop 40%.
 
     The shift loop is predicated per COLUMN CHUNK (r3): a full-width row
     strip of scene-like depth spans most of the disparity range, so
@@ -72,22 +81,22 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     independently, reading/writing only its own output slice."""
     disp = disp_ref[...]
 
-    def _f32(ref):
+    def _u8val(ref):
         # color planes arrive u8 on the planar path (i32 hop: Mosaic has
-        # no direct unsigned->float cast) or f32 from the compat entries
+        # no direct unsigned->float cast, already integral) or f32 from
+        # the compat entries (floored here, see docstring)
         v = ref[...]
         if v.dtype != jnp.float32:
-            v = v.astype(jnp.int32).astype(jnp.float32)
-        return v
+            return v.astype(jnp.int32).astype(jnp.float32)
+        return jnp.floor(jnp.clip(v, 0.0, 255.0))
 
-    red = _f32(r_ref)
-    green = _f32(g_ref)
-    blue = _f32(b_ref)
+    packed_all = (_u8val(r_ref) + 256.0 * _u8val(g_ref)
+                  + 65536.0 * _u8val(b_ref))
 
     neg_inf = jnp.float32(-jnp.inf)
 
     def run_eye(sign, s_lo, s_hi, refs, out_ref):
-        key_ref, w_ref, r_ref_o, g_ref_o, b_ref_o = refs
+        key_ref, frac_ref, pk_ref = refs
         # Loop-invariant planes, computed ONCE per block per eye: the shift
         # loop below then only slices + compares (the floor/frac/mul chain
         # used to run inside every one of the ~D iterations).
@@ -100,10 +109,8 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         in_img = jnp.abs(k_all) < 2.0e4
 
         key_ref[...] = jnp.full((disp.shape[0], W), neg_inf, jnp.float32)
-        w_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
-        r_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
-        g_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
-        b_ref_o[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        frac_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        pk_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
 
         for c0 in range(0, W, _CHUNK_C):
             cw = min(_CHUNK_C, W - c0)
@@ -130,42 +137,42 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                 @pl.when((jnp.float32(g_hi - 1) >= m_lo)
                          & (jnp.float32(g) <= m_hi + 1))
                 def _group(g=g, g_hi=g_hi, c0=c0, cw=cw, osl=osl):
-                    best = (key_ref[osl], w_ref[osl], r_ref_o[osl],
-                            g_ref_o[osl], b_ref_o[osl])
+                    best = (key_ref[osl], frac_ref[osl], pk_ref[osl])
                     for s in range(g, g_hi):
                         lo = P - s + c0
                         sl = (slice(None), slice(lo, lo + cw))
                         k = k_all[sl]
-                        frac = frac_all[sl]
                         z_s = z_all[sl]
                         is_floor = k == s
                         is_ceil = (k == s - 1) & ceil_ok[sl]
                         key = jnp.where(is_ceil, 2.0 + z_s,
                                         jnp.where(is_floor, z_s, neg_inf))
-                        wgt = jnp.where(is_ceil, frac, 1.0 - frac)
                         take = key > best[0]
                         best = (jnp.where(take, key, best[0]),
-                                jnp.where(take, wgt, best[1]),
-                                jnp.where(take, red[sl], best[2]),
-                                jnp.where(take, green[sl], best[3]),
-                                jnp.where(take, blue[sl], best[4]))
+                                jnp.where(take, frac_all[sl], best[1]),
+                                jnp.where(take, packed_all[sl], best[2]))
                     key_ref[osl] = best[0]
-                    w_ref[osl] = best[1]
-                    r_ref_o[osl] = best[2]
-                    g_ref_o[osl] = best[3]
-                    b_ref_o[osl] = best[4]
+                    frac_ref[osl] = best[1]
+                    pk_ref[osl] = best[2]
 
-        # epilogue: floored u8 colors + validity mask, written once
-        for k, cref in enumerate((r_ref_o, g_ref_o, b_ref_o)):
-            out_ref[k] = jnp.floor(
-                jnp.clip(cref[...], 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
-        mask = (w_ref[...] > 0.1) & (key_ref[...] > neg_inf)
+        # epilogue: unpack the winner's u8 colors (exact integer f32
+        # arithmetic, values < 2^24) + blend weight from key class band +
+        # validity mask, written once
+        key = key_ref[...]
+        frac = frac_ref[...]
+        packed = pk_ref[...]
+        b_v = jnp.floor(packed * (1.0 / 65536.0))
+        rem = packed - b_v * 65536.0
+        g_v = jnp.floor(rem * (1.0 / 256.0))
+        r_v = rem - g_v * 256.0
+        for k, cval in enumerate((r_v, g_v, b_v)):
+            out_ref[k] = cval.astype(jnp.int32).astype(jnp.uint8)
+        wgt = jnp.where(key >= 2.0, frac, 1.0 - frac)
+        mask = (wgt > 0.1) & (key > neg_inf)
         out_ref[3] = mask.astype(jnp.int32).astype(jnp.uint8)
 
-    run_eye(1.0, 0, D + 2, (lkey_ref, lw_ref, lr_ref, lg_ref, lb_ref),
-            left_ref)
-    run_eye(-1.0, -D, 2, (rkey_ref, rw_ref, rr_ref, rg_ref, rb_ref),
-            right_ref)
+    run_eye(1.0, 0, D + 2, (lkey_ref, lfrac_ref, lpk_ref), left_ref)
+    run_eye(-1.0, -D, 2, (rkey_ref, rfrac_ref, rpk_ref), right_ref)
 
 
 def _auto_block_rows(width: int, pad: int) -> int:
@@ -178,7 +185,7 @@ def _auto_block_rows(width: int, pad: int) -> int:
     also bounded by a VMEM budget for narrow inputs."""
     budget = 72 * 1024 * 1024
     for rows in (24, 16, 8):
-        per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
+        per_row = (2 * 4 * (width + 2 * pad) + 2 * 6 * width + 8 * width) * 4
         if rows * per_row <= budget:
             return rows
     return 8
@@ -269,7 +276,7 @@ def _warp_planes(planes, depth, max_disparity: float,
     out_spec = pl.BlockSpec((4, block_rows, W), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((4, rows, W), jnp.uint8)] * 2
-    scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * 10
+    scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * 6
 
     eye_l, eye_r = pl.pallas_call(
         functools.partial(_warp_kernel, W=W, P=P, D=D,

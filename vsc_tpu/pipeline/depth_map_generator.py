@@ -137,6 +137,13 @@ def run(workflow_path: Path, config: dict, *, start_frame=None, end_frame=None,
     from tqdm import tqdm
     from vsc_tpu.io.image import write_depth_verified
     from vsc_tpu.io.prefetch import SaveError, run_pipeline
+    from vsc_tpu.utils.jax_setup import setup_jax
+
+    # BEFORE the first backend touch (the jax.devices() banner below):
+    # setup_jax applies VSC_TPU_FORCE_CPU — applied any later, the pinned
+    # accelerator platform would already be initialized and the hermetic-
+    # test escape hatch (and the XLA cache config) would silently not take.
+    setup_jax()
 
     input_dir = get_path(workflow_path, config, "frames")
     output_dir = get_path(workflow_path, config, "depth_maps")
