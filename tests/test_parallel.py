@@ -121,3 +121,34 @@ def test_distributed_initialize_single_host(monkeypatch):
     # idempotent: second call skips re-initialization
     assert dist.initialize() is True
     assert len(calls) == 1
+
+
+def test_sharded_planar_u8_sbs_matches_single(monkeypatch):
+    """The r3 planar-u8 eye pipeline (u8-quantizing supersample, packed-
+    color warp, pool-kernel pyramid prepass, planar postprocess + finish —
+    interpret mode via VSC_TPU_SBS=planar) under the 8-device mesh:
+    shard_map runs every kernel per-shard, result == single-device."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from vsc_tpu.config import StereoParams
+    from vsc_tpu.ops.stereo import generate_sbs
+
+    monkeypatch.setenv("VSC_TPU_SBS", "planar")
+
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 256, (8, 16, 64, 3), np.uint8)
+    depth = rng.integers(0, 256, (8, 16, 64), np.uint8)
+    # super_sampling 3 -> integer scale ratio: the full planar-u8 path
+    # (crop_w = 192 >= the finish kernel's 129-column floor)
+    params = StereoParams(max_disparity=3.0, convergence=2.0,
+                          super_sampling=3.0, edge_softness=1.0,
+                          artifact_smoothing=1.0, depth_gamma=0.8,
+                          sharpen=1.0)
+    single = np.asarray(generate_sbs(rgb, depth, params))
+
+    mesh = make_mesh(data=4, model=2)
+    rgb_s = jax.device_put(jnp.asarray(rgb),
+                           NamedSharding(mesh, P("data", None, None, None)))
+    depth_s = jax.device_put(jnp.asarray(depth),
+                             NamedSharding(mesh, P("data", None, None)))
+    sharded = np.asarray(generate_sbs(rgb_s, depth_s, params))
+    np.testing.assert_array_equal(sharded, single)
