@@ -58,3 +58,24 @@ def test_planar_variant_matches_channel_last():
         jnp.asarray(np.moveaxis(rgb, -1, 1)), jnp.asarray(depth), 7.0)
     for x, y in zip(a, b):
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_packed_carry_matches_legacy(monkeypatch):
+    """VSC_TPU_WARP_PACKED selects the 3-plane (key, frac, packed-color)
+    scan carry; outputs must be bit-identical to the legacy 5-plane form
+    (colors are u8-exact either way, the weight threshold reconstructs
+    from the key class band)."""
+    from vsc_tpu.ops.warp_pallas import forward_warp_stereo_pallas_planar_u8
+
+    rng = np.random.default_rng(5)
+    rgb_cf = jnp.asarray(rng.integers(0, 256, (2, 3, 24, 96), np.uint8))
+    depth = jnp.asarray(rng.uniform(0, 1, (2, 24, 96)).astype(np.float32))
+
+    import jax
+
+    legacy = forward_warp_stereo_pallas_planar_u8(rgb_cf, depth, 6.0)
+    monkeypatch.setenv("VSC_TPU_WARP_PACKED", "1")
+    jax.clear_caches()
+    packed = forward_warp_stereo_pallas_planar_u8(rgb_cf, depth, 6.0)
+    for x, y in zip(legacy, packed):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))

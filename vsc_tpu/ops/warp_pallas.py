@@ -51,9 +51,8 @@ _GRP = int(os.environ.get("VSC_TPU_WARP_GRP", "8"))
 
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                  left_ref, right_ref,
-                 lkey_ref, lfrac_ref, lpk_ref,
-                 rkey_ref, rfrac_ref, rpk_ref,
-                 *, W: int, P: int, D: int, inv_max_disp: float):
+                 *refs,
+                 W: int, P: int, D: int, inv_max_disp: float, packed: bool):
     """One row-block. disp/r/g/b refs: [TH, W + 2P]; outputs left/right:
     [4, TH, W] uint8 (r, g, b, mask) — the warped colors are floored to u8
     IN the kernel (exact: the winner-take selection depends only on depth,
@@ -63,13 +62,17 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     leave VMEM (they are scratch, not outputs): HBM writes drop 10x f32 ->
     8x u8 per row-block.
 
-    The scan carries THREE planes per eye (r3 packing): the floored u8
-    colors pack exactly into one f32 (r + 256 g + 65536 b <= 2^24 - 1),
-    and the winner's blend weight is recoverable in the epilogue from the
-    carried source frac plus the key's class band (ceil-class keys live in
-    [2, 3], floor-class in [0, 1]) — so each shift pays 3 selects instead
-    of the 5 of a (key, weight, r, g, b) carry, and group-boundary ref
-    round-trips (the kernel's measured round-1 dominant cost) drop 40%.
+    Two statically-selected carry forms (VSC_TPU_WARP_PACKED):
+      - legacy (default): the scan carries (key, weight, r, g, b) — five
+        selects per shift.
+      - packed: the scan carries (key, frac, packed) — the floored u8
+        colors pack exactly into one f32 (r + 256 g + 65536 b <= 2^24 - 1)
+        and the winner's blend weight is recovered in the epilogue from
+        the carried source frac plus the key's class band (ceil-class keys
+        live in [2, 3], floor-class in [0, 1]): 3 selects per shift and
+        40% less group-boundary scratch traffic. Outputs are bit-identical
+        (tests/test_warp_pallas.py runs both). Kept opt-in until its relay
+        compile time is validated on hardware.
 
     The shift loop is predicated per COLUMN CHUNK (r3): a full-width row
     strip of scene-like depth spans most of the disparity range, so
@@ -80,23 +83,30 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
     chunk computes its range over its source span and runs the group loop
     independently, reading/writing only its own output slice."""
     disp = disp_ref[...]
+    n_carry = 3 if packed else 5
+    l_refs, r_refs = refs[:n_carry], refs[n_carry:2 * n_carry]
 
-    def _u8val(ref):
+    def _u8val(ref, quantize: bool):
         # color planes arrive u8 on the planar path (i32 hop: Mosaic has
         # no direct unsigned->float cast, already integral) or f32 from
-        # the compat entries (floored here, see docstring)
+        # the compat entries (floored before the scan on the packed form,
+        # see docstring; the legacy form floors at the epilogue instead)
         v = ref[...]
         if v.dtype != jnp.float32:
             return v.astype(jnp.int32).astype(jnp.float32)
-        return jnp.floor(jnp.clip(v, 0.0, 255.0))
+        return jnp.floor(jnp.clip(v, 0.0, 255.0)) if quantize else v
 
-    packed_all = (_u8val(r_ref) + 256.0 * _u8val(g_ref)
-                  + 65536.0 * _u8val(b_ref))
+    if packed:
+        packed_all = (_u8val(r_ref, True) + 256.0 * _u8val(g_ref, True)
+                      + 65536.0 * _u8val(b_ref, True))
+    else:
+        red = _u8val(r_ref, False)
+        green = _u8val(g_ref, False)
+        blue = _u8val(b_ref, False)
 
     neg_inf = jnp.float32(-jnp.inf)
 
     def run_eye(sign, s_lo, s_hi, refs, out_ref):
-        key_ref, frac_ref, pk_ref = refs
         # Loop-invariant planes, computed ONCE per block per eye: the shift
         # loop below then only slices + compares (the floor/frac/mul chain
         # used to run inside every one of the ~D iterations).
@@ -108,9 +118,9 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         ceil_ok = frac_all > 0.3
         in_img = jnp.abs(k_all) < 2.0e4
 
-        key_ref[...] = jnp.full((disp.shape[0], W), neg_inf, jnp.float32)
-        frac_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
-        pk_ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
+        refs[0][...] = jnp.full((disp.shape[0], W), neg_inf, jnp.float32)
+        for ref in refs[1:]:
+            ref[...] = jnp.zeros((disp.shape[0], W), jnp.float32)
 
         for c0 in range(0, W, _CHUNK_C):
             cw = min(_CHUNK_C, W - c0)
@@ -137,42 +147,55 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
                 @pl.when((jnp.float32(g_hi - 1) >= m_lo)
                          & (jnp.float32(g) <= m_hi + 1))
                 def _group(g=g, g_hi=g_hi, c0=c0, cw=cw, osl=osl):
-                    best = (key_ref[osl], frac_ref[osl], pk_ref[osl])
+                    best = tuple(ref[osl] for ref in refs)
                     for s in range(g, g_hi):
                         lo = P - s + c0
                         sl = (slice(None), slice(lo, lo + cw))
                         k = k_all[sl]
+                        frac = frac_all[sl]
                         z_s = z_all[sl]
                         is_floor = k == s
                         is_ceil = (k == s - 1) & ceil_ok[sl]
                         key = jnp.where(is_ceil, 2.0 + z_s,
                                         jnp.where(is_floor, z_s, neg_inf))
+                        if packed:
+                            cand = (key, frac, packed_all[sl])
+                        else:
+                            wgt = jnp.where(is_ceil, frac, 1.0 - frac)
+                            cand = (key, wgt, red[sl], green[sl], blue[sl])
                         take = key > best[0]
-                        best = (jnp.where(take, key, best[0]),
-                                jnp.where(take, frac_all[sl], best[1]),
-                                jnp.where(take, packed_all[sl], best[2]))
-                    key_ref[osl] = best[0]
-                    frac_ref[osl] = best[1]
-                    pk_ref[osl] = best[2]
+                        best = tuple(jnp.where(take, c, b)
+                                     for c, b in zip(cand, best))
+                    for ref, b in zip(refs, best):
+                        ref[osl] = b
 
-        # epilogue: unpack the winner's u8 colors (exact integer f32
-        # arithmetic, values < 2^24) + blend weight from key class band +
-        # validity mask, written once
-        key = key_ref[...]
-        frac = frac_ref[...]
-        packed = pk_ref[...]
-        b_v = jnp.floor(packed * (1.0 / 65536.0))
-        rem = packed - b_v * 65536.0
-        g_v = jnp.floor(rem * (1.0 / 256.0))
-        r_v = rem - g_v * 256.0
-        for k, cval in enumerate((r_v, g_v, b_v)):
-            out_ref[k] = cval.astype(jnp.int32).astype(jnp.uint8)
-        wgt = jnp.where(key >= 2.0, frac, 1.0 - frac)
-        mask = (wgt > 0.1) & (key > neg_inf)
+        # epilogue: the winner's u8 colors + validity mask, written once
+        if packed:
+            # unpack (exact integer f32 arithmetic, values < 2^24) +
+            # blend weight from the key class band
+            key = refs[0][...]
+            frac = refs[1][...]
+            pk = refs[2][...]
+            b_v = jnp.floor(pk * (1.0 / 65536.0))
+            rem = pk - b_v * 65536.0
+            g_v = jnp.floor(rem * (1.0 / 256.0))
+            r_v = rem - g_v * 256.0
+            for k, cval in enumerate((r_v, g_v, b_v)):
+                out_ref[k] = cval.astype(jnp.int32).astype(jnp.uint8)
+            wgt = jnp.where(key >= 2.0, frac, 1.0 - frac)
+            mask = (wgt > 0.1) & (key > neg_inf)
+        else:
+            # floored u8 colors (scan carried raw f32); same trace as the
+            # proven r3 kernel
+            for k, cref in enumerate(refs[2:5]):
+                out_ref[k] = jnp.floor(
+                    jnp.clip(cref[...], 0.0, 255.0)
+                ).astype(jnp.int32).astype(jnp.uint8)
+            mask = (refs[1][...] > 0.1) & (refs[0][...] > neg_inf)
         out_ref[3] = mask.astype(jnp.int32).astype(jnp.uint8)
 
-    run_eye(1.0, 0, D + 2, (lkey_ref, lfrac_ref, lpk_ref), left_ref)
-    run_eye(-1.0, -D, 2, (rkey_ref, rfrac_ref, rpk_ref), right_ref)
+    run_eye(1.0, 0, D + 2, l_refs, left_ref)
+    run_eye(-1.0, -D, 2, r_refs, right_ref)
 
 
 def _auto_block_rows(width: int, pad: int) -> int:
@@ -185,7 +208,7 @@ def _auto_block_rows(width: int, pad: int) -> int:
     also bounded by a VMEM budget for narrow inputs."""
     budget = 72 * 1024 * 1024
     for rows in (24, 16, 8):
-        per_row = (2 * 4 * (width + 2 * pad) + 2 * 6 * width + 8 * width) * 4
+        per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
         if rows * per_row <= budget:
             return rows
     return 8
@@ -275,13 +298,15 @@ def _warp_planes(planes, depth, max_disparity: float,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((4, block_rows, W), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
+    packed = os.environ.get("VSC_TPU_WARP_PACKED", "0") == "1"
     out_shape = [jax.ShapeDtypeStruct((4, rows, W), jnp.uint8)] * 2
-    scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * 6
+    scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * (6 if packed
+                                                            else 10)
 
     eye_l, eye_r = pl.pallas_call(
         functools.partial(_warp_kernel, W=W, P=P, D=D,
                           inv_max_disp=1.0 / max_disparity
-                          if max_disparity > 0 else 0.0),
+                          if max_disparity > 0 else 0.0, packed=packed),
         grid=grid,
         in_specs=[in_spec] * 4,
         out_specs=[out_spec] * 2,
