@@ -156,6 +156,26 @@ def main() -> None:
     import jax
     import numpy as np
 
+    # Fail loud, not silent: backend init through the remote tunnel can
+    # hang indefinitely when the device/relay is unreachable (observed as
+    # a multi-hour degradation) — a tiny first dispatch under a deadline
+    # turns that into a diagnosable one-line error instead of a hung
+    # process. 900 s covers any legitimate tiny-program relay compile.
+    from vsc_tpu.parallel.health import run_with_deadline
+    try:
+        run_with_deadline(
+            lambda: np.asarray(
+                jax.jit(lambda a: a * 2 + 1)(jax.numpy.ones((128, 128)))
+            )[0, 0],
+            float(os.environ.get("BENCH_INIT_DEADLINE", "900")))
+    except TimeoutError:
+        print(json.dumps({
+            "metric": "1080p frames/sec/chip end-to-end (depth+SBS)",
+            "value": 0.0, "unit": "frames/sec", "vs_baseline": 0.0,
+            "detail": {"error": "device/tunnel unreachable: first tiny "
+                                "dispatch exceeded the init deadline"}}))
+        return
+
     frames, depth_sbs, run_depth, run_sbs, batch = build_workload()
     iters = int(os.environ.get("BENCH_ITERS", "8"))
 
