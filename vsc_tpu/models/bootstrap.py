@@ -78,8 +78,12 @@ def maybe_cache_npz(source_path: str | Path, params) -> None:
     user checkpoint is the user's to manage); writes atomically.
     """
     src = str(source_path)
-    marker = os.sep + "hub" + os.sep  # .../huggingface/hub/models--...
-    if "huggingface" not in src or marker not in src:
+    # hub layout marker: <cache>/hub/models--org--name/snapshots/...
+    # (match the layout, not the cache dir name — HF_HOME/HF_HUB_CACHE can
+    # point anywhere, e.g. /data/hf, and 'huggingface' in the path would
+    # then never fire)
+    marker = os.sep + "models--"
+    if marker not in src:
         return
     from vsc_tpu.models.convert import save_params
     dest = npz_cache_path()

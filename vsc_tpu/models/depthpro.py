@@ -191,7 +191,11 @@ class ConvT2x2(nn.Module):
                        (2, 2, I, self.features), jnp.float32)
         if kernel_only:
             # expose the parameter for chain composition (ProjUpsample)
-            # without computing; x supplies only the channel count
+            # without computing; x supplies only the channel count.
+            # Composition math assumes bias-free maps, and returning here
+            # would leave a use_bias instance's params tree without its
+            # 'bias' leaf (checkpoint-shape mismatch).
+            assert not self.use_bias, "kernel_only requires use_bias=False"
             return k
         import os
         from vsc_tpu.ops.deconv_pallas import (deconv2x2_pallas,

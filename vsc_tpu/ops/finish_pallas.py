@@ -129,7 +129,11 @@ def sharpen_downscale(img, ratio: int, strength: float,
             x = x[:, :out_h * ratio, :out_w * ratio]
         return resize(x, out_h, out_w, "area",
                       channel_last=True).astype(jnp.float32)
-    planes = jnp.moveaxis(img, -1, 0).astype(jnp.uint8)  # [3, B, H, W]
+    # floor/clip before the u8 cast: in-pipeline inputs are u8-valued
+    # (identity), but this is a public entry — a bare astype would wrap
+    # out-of-range floats and truncate fractions silently
+    planes = jnp.moveaxis(
+        jnp.floor(jnp.clip(img, 0.0, 255.0)), -1, 0).astype(jnp.uint8)
     out = _sharpen_downscale_planes(planes, ratio, strength, out_h, out_w,
                                     jnp.float32)
     return jnp.moveaxis(out, 0, -1)

@@ -74,16 +74,22 @@ def _upsample2(x, out_h, out_w):
     return _upsample_nearest(x, out_h, out_w, 2)
 
 
-def _upsample_nearest(x, out_h, out_w, factor: int):
-    """Nearest integer-factor upsample: out[i] = x[min(i // factor, n-1)]."""
+def _upsample_nearest_axes(x, out_h, out_w, factor: int, ah: int, aw: int):
+    """Nearest integer-factor upsample over axes (ah, aw):
+    out[i] = x[min(i // factor, n-1)]."""
     import jax.numpy as jnp
     import numpy as np
     idx_h = jnp.asarray(np.minimum(np.arange(out_h) // factor,
-                                   x.shape[1] - 1), jnp.int32)
+                                   x.shape[ah] - 1), jnp.int32)
     idx_w = jnp.asarray(np.minimum(np.arange(out_w) // factor,
-                                   x.shape[2] - 1), jnp.int32)
-    x = jnp.take(x, idx_h, axis=1)
-    return jnp.take(x, idx_w, axis=2)
+                                   x.shape[aw] - 1), jnp.int32)
+    x = jnp.take(x, idx_h, axis=ah)
+    return jnp.take(x, idx_w, axis=aw)
+
+
+def _upsample_nearest(x, out_h, out_w, factor: int):
+    """Nearest upsample over axes (1, 2) — [B, H, W(, C)] layouts."""
+    return _upsample_nearest_axes(x, out_h, out_w, factor, 1, 2)
 
 
 def _pyramid_fill(image, valid, coarse_factor: int = 1,
@@ -205,14 +211,8 @@ def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
 
 def _upsample_nearest_hw(x, out_h, out_w, factor: int):
     """Nearest integer-factor upsample over the last two axes."""
-    import jax.numpy as jnp
-    import numpy as np
-    idx_h = jnp.asarray(np.minimum(np.arange(out_h) // factor,
-                                   x.shape[-2] - 1), jnp.int32)
-    idx_w = jnp.asarray(np.minimum(np.arange(out_w) // factor,
-                                   x.shape[-1] - 1), jnp.int32)
-    x = jnp.take(x, idx_h, axis=x.ndim - 2)
-    return jnp.take(x, idx_w, axis=x.ndim - 1)
+    return _upsample_nearest_axes(x, out_h, out_w, factor,
+                                  x.ndim - 2, x.ndim - 1)
 
 
 def _frontier_sweep(val, known):

@@ -76,6 +76,10 @@ import os
 
 BLOCK_R = int(os.environ.get("VSC_TPU_PP_BLOCK_R", "64"))
 BLOCK_C = int(os.environ.get("VSC_TPU_PP_BLOCK_C", "512"))
+# the fill/polish chain runs per 128-column subtile and the quarter-res
+# smooth window starts at BLOCK_C/4: a non-multiple-of-128 width would
+# silently leave tail columns unfilled rather than error
+assert BLOCK_C % 128 == 0, "VSC_TPU_PP_BLOCK_C must be a multiple of 128"
 
 
 def _bilateral_offs(radius: int):

@@ -52,8 +52,10 @@ from vsc_tpu.ops.warp import forward_warp_stereo as _warp_jnp
 def _forward_warp(image, depth, max_disparity):
     """Warp backend selection: the fused Pallas kernel on TPU (one HBM pass
     instead of ~max_disparity shifted reads), the jnp formulation elsewhere.
-    Override with VSC_TPU_WARP=jnp|pallas; both are exact-equivalent
-    (tests/test_warp_pallas.py)."""
+    Override with VSC_TPU_WARP=jnp|pallas. The kernel emits floor(clip(.))
+    u8-valued colors (the postprocess entry's own quantization point, where
+    the two backends coincide exactly — tests/test_warp_pallas.py); the jnp
+    path keeps the raw fractional f32 until that same entry."""
     choice = os.environ.get("VSC_TPU_WARP")
     if choice == "jnp":
         return _warp_jnp(image, depth, max_disparity)

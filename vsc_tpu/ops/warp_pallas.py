@@ -205,7 +205,11 @@ def _auto_block_rows(width: int, pad: int) -> int:
     rows x width x loop-iterations — 64-row blocks at production widths
     push the unrolled shift loop past 10^6 vector ops and LLVM takes tens
     of minutes. 16 rows halves the 8-row overhead at 2x the round-1 IR;
-    also bounded by a VMEM budget for narrow inputs."""
+    also bounded by a VMEM budget for narrow inputs. The per_row model
+    deliberately keeps the round-1 (f32-output) byte accounting: it
+    OVERSTATES today's u8-output kernel, but production widths still land
+    on the measured-best 24 rows and loosening it would silently change
+    every compiled block geometry."""
     budget = 72 * 1024 * 1024
     for rows in (24, 16, 8):
         per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
