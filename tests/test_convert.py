@@ -288,7 +288,8 @@ def test_vit_conversion_numerics(tmp_path):
     params = meta.unbox(boxed)
 
     mapped = convert_vit_state(
-        {k: v.numpy() for k, v in state.items()}, "enc.", cfg.depth)
+        {k: v.numpy() for k, v in state.items()}, "enc.", cfg.depth,
+        cfg.num_heads)
 
     def set_path(tree, path, value):
         keys = path.split("/")

@@ -41,3 +41,32 @@ def test_seq_sharded_vit_matches_unsharded():
     # token count 64+1=65 is not divisible by model=2: the constraint pads
     # internally via SPMD; values must still match
     np.testing.assert_allclose(got, ref, atol=2e-5)
+
+
+def test_pallas_attention_under_tp_matches_einsum():
+    """The qkv-native Pallas attention shard_mapped over the "model" axis
+    (per-head-interleaved layout -> whole heads per shard) must reproduce
+    the unsharded einsum path (VERDICT r3 next #4: the kernel used to be
+    gated to device_count() == 1)."""
+    kw = dict(img_size=24, patch_size=3, embed_dim=256, depth=2, num_heads=4)
+    cfg = ViTConfig(**kw)                           # einsum path on CPU
+    cfg_tp = ViTConfig(**kw, flash_attention=True)  # forced kernel, interpret
+    x = jax.random.uniform(jax.random.PRNGKey(0), (4, 24, 24, 3),
+                           minval=-1.0, maxval=1.0)
+
+    model = ViT(cfg)
+    boxed = model.init(jax.random.PRNGKey(1), x)["params"]
+    params = meta.unbox(boxed)
+    ref = np.asarray(model.apply({"params": params}, x)[0])
+
+    mesh = make_mesh(data=4, model=2)
+    model_tp = ViT(cfg_tp)
+    sharded = jax.device_put(params, param_shardings(boxed, mesh))
+    x_sh = jax.device_put(x, NamedSharding(mesh, P("data", None, None, None)))
+
+    with jax.set_mesh(mesh):
+        got = np.asarray(jax.jit(
+            lambda p, im: model_tp.apply({"params": p}, im)[0]
+        )(sharded, x_sh))
+
+    np.testing.assert_allclose(got, ref, atol=2e-5)

@@ -32,7 +32,10 @@ def cache_dir() -> Path:
 
 
 def npz_cache_path() -> Path:
-    return cache_dir() / "depthpro_hf.npz"
+    # _v2: the fused-qkv column layout changed to per-head interleaved
+    # (models/convert._interleave_qkv) — a cache converted before that
+    # would silently produce garbage attention, so the name is versioned
+    return cache_dir() / "depthpro_hf_v2.npz"
 
 
 def resolve_checkpoint(verbose: bool = True) -> str | None:

@@ -103,7 +103,22 @@ def _t_none(w):
 # --------------------------------------------------------------------------
 # ViT sub-trees
 
-def convert_vit_state(state: dict, prefix: str, depth: int) -> dict:
+def _interleave_qkv(arr: np.ndarray, num_heads: int) -> np.ndarray:
+    """Fused-qkv LAST axis reorder: [q_all | k_all | v_all] (the torch/HF
+    row-stacked convention, transposed to columns here) -> per-head
+    interleaved [q_h0 | k_h0 | v_h0 | q_h1 | ...] blocks of 3*head_dim —
+    the Megatron fused-qkv layout our attention consumes
+    (vsc_tpu/ops/attention_pallas.qkv_short_seq_attention): a contiguous
+    tensor-parallel shard of the column axis then holds whole heads."""
+    d3 = arr.shape[-1]
+    dh = d3 // (3 * num_heads)
+    x = arr.reshape(arr.shape[:-1] + (3, num_heads, dh))
+    x = np.moveaxis(x, -3, -2)  # [..., heads, 3, dh]
+    return np.ascontiguousarray(x.reshape(arr.shape[:-1] + (d3,)))
+
+
+def convert_vit_state(state: dict, prefix: str, depth: int,
+                      num_heads: int) -> dict:
     """timm/DINOv2 ViT state-dict entries under `prefix` -> our flat Flax
     names (relative to the ViT module). Returns {flax_name: ndarray}.
 
@@ -111,8 +126,8 @@ def convert_vit_state(state: dict, prefix: str, depth: int) -> dict:
       Linear:  torch [out, in]      -> flax kernel [in, out]    (transpose)
       Conv2d:  torch [O, I, kh, kw] -> flax kernel [kh, kw, I, O]
       LayerNorm weight -> scale.
-    The fused qkv packs rows as [q | k | v] in both frameworks (our
-    reshape (..., 3, heads, head_dim) consumes the same order).
+      Fused qkv: torch rows [q | k | v] -> per-head interleaved columns
+                 (_interleave_qkv).
     """
     def t(name):
         return np.asarray(state[f"{prefix}{name}"])
@@ -129,8 +144,10 @@ def convert_vit_state(state: dict, prefix: str, depth: int) -> dict:
         for ln in ("norm1", "norm2"):
             out[f"{dst}{ln}/scale"] = t(f"{src}{ln}.weight")
             out[f"{dst}{ln}/bias"] = t(f"{src}{ln}.bias")
-        out[f"{dst}attn/qkv/kernel"] = t(f"{src}attn.qkv.weight").T
-        out[f"{dst}attn/qkv/bias"] = t(f"{src}attn.qkv.bias")
+        out[f"{dst}attn/qkv/kernel"] = _interleave_qkv(
+            t(f"{src}attn.qkv.weight").T, num_heads)
+        out[f"{dst}attn/qkv/bias"] = _interleave_qkv(
+            t(f"{src}attn.qkv.bias"), num_heads)
         out[f"{dst}attn/proj/kernel"] = t(f"{src}attn.proj.weight").T
         out[f"{dst}attn/proj/bias"] = t(f"{src}attn.proj.bias")
         out[f"{dst}mlp/fc1/kernel"] = t(f"{src}mlp.fc1.weight").T
@@ -149,10 +166,12 @@ def convert_vit_state(state: dict, prefix: str, depth: int) -> dict:
     return out
 
 
-def convert_hf_dinov2_state(state: dict, prefix: str, depth: int) -> dict:
+def convert_hf_dinov2_state(state: dict, prefix: str, depth: int,
+                            num_heads: int) -> dict:
     """transformers Dinov2Model state-dict entries under `prefix` -> our
     flat Flax names. Separate q/k/v projections are re-fused into the
-    row-stacked [q | k | v] layout our attention consumes."""
+    per-head interleaved layout our attention consumes
+    (_interleave_qkv)."""
     def t(name):
         return np.asarray(state[f"{prefix}{name}"])
 
@@ -174,8 +193,8 @@ def convert_hf_dinov2_state(state: dict, prefix: str, depth: int) -> dict:
         qkv_b = np.concatenate(
             [t(f"{src}attention.attention.{p}.bias") for p in
              ("query", "key", "value")], axis=0)
-        out[f"{dst}attn/qkv/kernel"] = qkv_w.T
-        out[f"{dst}attn/qkv/bias"] = qkv_b
+        out[f"{dst}attn/qkv/kernel"] = _interleave_qkv(qkv_w.T, num_heads)
+        out[f"{dst}attn/qkv/bias"] = _interleave_qkv(qkv_b, num_heads)
         out[f"{dst}attn/proj/kernel"] = t(f"{src}attention.output.dense.weight").T
         out[f"{dst}attn/proj/bias"] = t(f"{src}attention.output.dense.bias")
         out[f"{dst}ls1/gamma"] = t(f"{src}layer_scale1.lambda1")
@@ -364,7 +383,8 @@ def convert_state_dict(state: dict, model) -> dict:
         for tprefix, fprefix in vits:
             if f"{tprefix}cls_token" not in state:
                 continue  # absent ViT: reported as unmapped params below
-            for rel, arr in convert_vit_state(state, tprefix, depth).items():
+            for rel, arr in convert_vit_state(
+                    state, tprefix, depth, cfg.encoder.num_heads).items():
                 converted[f"{fprefix}{rel}"] = arr
         table = _apple_mapping(cfg)
     else:
@@ -378,7 +398,7 @@ def convert_state_dict(state: dict, model) -> dict:
             if f"{tprefix}embeddings.cls_token" not in state:
                 continue  # absent ViT: reported as unmapped params below
             for rel, arr in convert_hf_dinov2_state(
-                    state, tprefix, depth).items():
+                    state, tprefix, depth, cfg.encoder.num_heads).items():
                 converted[f"{fprefix}{rel}"] = arr
         table = _hf_mapping(cfg)
 

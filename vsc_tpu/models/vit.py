@@ -23,6 +23,7 @@ TPU-first design notes:
 from __future__ import annotations
 
 import dataclasses
+import functools
 import math
 from typing import Any
 
@@ -121,7 +122,12 @@ def _folded_ln_dense(x, ln_scale, ln_bias, kernel, bias, dtype,
     elementwise on the matmul output, which XLA fuses into the dot."""
     xf = x.astype(jnp.float32)
     mu = jnp.mean(xf, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu)
+    # clamp: E[x^2] - E[x]^2 can cancel slightly negative on near-constant
+    # rows with large mean, and rsqrt(negative + eps) is NaN (flax
+    # LayerNorm clamps the same way)
+    var = jnp.maximum(
+        jnp.mean(jnp.square(xf), axis=-1, keepdims=True) - jnp.square(mu),
+        0.0)
     inv = jax.lax.rsqrt(var + eps)
     w_gamma = ln_scale[:, None] * kernel                  # f32 [D, F]
     z = jnp.einsum("...c,cf->...f", x.astype(dtype), w_gamma.astype(dtype),
@@ -130,6 +136,30 @@ def _folded_ln_dense(x, ln_scale, ln_bias, kernel, bias, dtype,
     offset = ln_bias @ kernel + bias                      # [F]
     y = inv * z - (inv * mu) * col_sum + offset
     return y.astype(dtype)
+
+
+def _model_axis_mesh():
+    """(mesh, size of its "model" axis) from the ambient mesh set by
+    jax.set_mesh / the mesh context manager, or (None, 1) outside one."""
+    try:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is not None and "model" in mesh.axis_names:
+            return mesh, mesh.shape["model"]
+    except Exception:  # older jax or no ambient mesh machinery
+        pass
+    return None, 1
+
+
+def _split_qkv_heads(qkv, H: int, Dh: int):
+    """Per-head interleaved [B, T, 3D] -> q, k, v each [B, T, H, Dh].
+
+    The fused projection's columns are ordered [q_h | k_h | v_h] per head
+    (Megatron fused-qkv layout; models/convert.py writes checkpoints this
+    way), so the minor-dim reshape to [B, T, H, 3*Dh] is free and each part
+    is a lane slice."""
+    B, T, D3 = qkv.shape
+    x = qkv.reshape(B, T, H, 3 * Dh)
+    return x[..., :Dh], x[..., Dh:2 * Dh], x[..., 2 * Dh:]
 
 
 class Attention(nn.Module):
@@ -141,8 +171,10 @@ class Attention(nn.Module):
         B, T, D = x.shape
         H = cfg.num_heads
         Dh = D // H
-        # Fused QKV projection, sharded over heads (TP). With `ln` set the
-        # preceding LayerNorm is folded into this matmul (x arrives raw).
+        # Fused QKV projection, sharded over heads (TP); columns per-head
+        # interleaved (see _split_qkv_heads) so a contiguous "model" shard
+        # holds whole heads. With `ln` set the preceding LayerNorm is
+        # folded into this matmul (x arrives raw).
         if ln is None:
             qkv = _dense(3 * D, "qkv", ("embed", "heads"), cfg)(x)
         else:
@@ -153,37 +185,46 @@ class Attention(nn.Module):
         from vsc_tpu.ops.attention_pallas import (qkv_lane_group,
                                                   qkv_short_seq_attention,
                                                   short_seq_attention)
+        mesh, mp = _model_axis_mesh()
         use_flash = cfg.flash_attention
         if use_flash is None:
-            # auto: only where a pallas_call is SPMD-safe — single-device
-            # TPU programs. Multi-device runs (TP/SP shard the attention
-            # inputs under pjit, whose partitioner cannot split a
-            # pallas_call) use the einsum path unless explicitly forced.
-            use_flash = (jax.default_backend() == "tpu"
-                         and not cfg.seq_shard
-                         and jax.device_count() == 1)
-        if use_flash and qkv_lane_group(D, Dh) is not None:
+            use_flash = jax.default_backend() == "tpu"
+        sharded_ok = (mp > 1 and H % mp == 0
+                      and qkv_lane_group(3 * D // mp, Dh) is not None)
+        if use_flash and sharded_ok:
+            # SPMD form (VERDICT r3 next #4): the per-head layout means a
+            # contiguous "model" shard of qkv is exactly H/mp whole heads,
+            # so shard_map runs the same kernel per shard with ZERO extra
+            # collectives — the qkv projection already produces this
+            # sharding (column-parallel) and the row-parallel out-proj
+            # consumes it. Under seq_shard, XLA inserts the Ulysses
+            # token->head all-to-all to satisfy in_specs.
+            from jax.sharding import PartitionSpec as P
+
+            out = jax.shard_map(
+                functools.partial(qkv_short_seq_attention,
+                                  num_heads=H // mp, scale=scale),
+                mesh=mesh,
+                in_specs=P(None, None, "model"),
+                out_specs=P(None, None, "model"),
+                check_vma=False,  # pallas out_shapes carry no vma metadata
+            )(qkv)
+        elif use_flash and mp == 1 and qkv_lane_group(3 * D, Dh) is not None:
             # Straight from the fused projection: no q/k/v split, no
             # [B,T,H,Dh] transposes — the kernel reads head groups via
-            # lane-offset views of `qkv` and returns [B, T, D].
+            # lane-offset slices of `qkv` and returns [B, T, D].
             out = qkv_short_seq_attention(qkv, H, scale)
-        elif use_flash:
-            # Non-lane-aligned head dims (e.g. Dh=48) can't use the
-            # qkv-native kernel but still benefit from the on-chip
-            # logits kernel over split q/k/v.
-            q = qkv[..., :D].reshape(B, T, H, Dh)
-            k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
-            v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
+        elif use_flash and mp == 1:
+            # Head dims whose 3*Dh block can't tile the lane grid still
+            # benefit from the on-chip logits kernel over split q/k/v.
+            q, k, v = _split_qkv_heads(qkv, H, Dh)
             out = short_seq_attention(q, k, v, scale).reshape(B, T, D)
         else:
             # Einsum attention: f32 softmax, no mask (bidirectional ViT).
-            # q/k/v split via lane-aligned slices of the last dim (a
-            # [.., 3, H, Dh] reshape + index would relayout ~166 MB per
-            # tensor per block on TPU). Memory-bound on the [B, H, T, T]
-            # logits at production shapes.
-            q = qkv[..., :D].reshape(B, T, H, Dh)
-            k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
-            v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
+            # Used on CPU and for multi-device layouts the kernel can't
+            # tile; XLA's SPMD partitioner handles any sharding. Memory-
+            # bound on the [B, H, T, T] logits at production shapes.
+            q, k, v = _split_qkv_heads(qkv, H, Dh)
             logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                                 preferred_element_type=jnp.float32) * scale
             probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)

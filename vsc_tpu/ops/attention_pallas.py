@@ -29,21 +29,25 @@ from jax.experimental.pallas import tpu as pltpu
 __all__ = ["short_seq_attention", "qkv_short_seq_attention"]
 
 
-def _qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, scale: float,
+def _qkv_kernel(qkv_ref, o_ref, *, T: int, scale: float,
                 heads: int, Dh: int):
     """One grid cell = one lane-group of `heads` heads for one batch row.
-    The q/k/v refs are lane-offset views of the SAME fused [B, T, 3D] qkv
-    tensor (three in_specs with different lane-block index maps), so no
-    [B,T,H,Dh] transpose or separate q/k/v materialization ever happens."""
-    Tp = q_ref.shape[1]
+    The fused qkv tensor is PER-HEAD interleaved ([q_h | k_h | v_h] blocks
+    of 3*Dh lanes per head — Megatron's fused-qkv layout), so a cell's
+    q/k/v are lane-offset slices of ONE contiguous block: no [B,T,H,Dh]
+    transpose or separate q/k/v materialization ever happens, and a
+    contiguous shard of the lane axis under tensor parallelism carries
+    whole heads (models/vit.py shard_maps this kernel over the "model"
+    mesh axis)."""
+    Tp = qkv_ref.shape[1]
     if Tp != T:
         col = jax.lax.broadcasted_iota(jnp.int32, (Tp, Tp), 1)
         neg_bias = jnp.where(col < T, 0.0, -1e30).astype(jnp.float32)
     for h in range(heads):
-        sl = (0, slice(None), slice(h * Dh, (h + 1) * Dh))
-        q = q_ref[sl]                                        # [Tp, Dh]
-        k = k_ref[sl]
-        v = v_ref[sl]
+        base = 3 * Dh * h
+        q = qkv_ref[0, :, base:base + Dh]                    # [Tp, Dh]
+        k = qkv_ref[0, :, base + Dh:base + 2 * Dh]
+        v = qkv_ref[0, :, base + 2 * Dh:base + 3 * Dh]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale      # [Tp, Tp]
@@ -58,58 +62,64 @@ def _qkv_kernel(q_ref, k_ref, v_ref, o_ref, *, T: int, scale: float,
         o_ref[0, :, h * Dh:(h + 1) * Dh] = (out / denom).astype(o_ref.dtype)
 
 
-def qkv_lane_group(D: int, Dh: int) -> int | None:
-    """Lane-group width for qkv_short_seq_attention: a multiple of both the
-    128-lane tile and the head dim that divides D (None if impossible)."""
-    if D % Dh:
+def qkv_lane_group(D3: int, Dh: int) -> int | None:
+    """Lane-group width for qkv_short_seq_attention over the per-head
+    interleaved [B, T, D3] qkv tensor: the largest multiple of both the
+    128-lane tile and the 3*Dh per-head block that divides D3, capped so a
+    cell's operand block stays comfortably in VMEM (None if impossible).
+    The output block is lanes/3 wide = a multiple of lcm(Dh, 128)."""
+    if D3 % (3 * Dh):
         return None
-    step = Dh * 128 // math.gcd(Dh, 128)
-    for lanes in (512, 384, 256, 128):
-        if lanes % step == 0 and D % lanes == 0:
-            return lanes
-    return None
+    step = 3 * Dh * 128 // math.gcd(3 * Dh, 128)
+    best = None
+    lanes = step
+    while lanes <= min(D3, 1536):
+        if D3 % lanes == 0:
+            best = lanes
+        lanes += step
+    return best
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "scale"))
 def qkv_short_seq_attention(qkv, num_heads: int, scale: float):
     """Attention straight from the fused QKV projection.
 
-    qkv: [B, T, 3*D] laid out q | k | v along lanes (the natural output of
-    one Dense(3D)); returns [B, T, D] ready for the output projection.
+    qkv: [B, T, 3*D] PER-HEAD interleaved — [q_h0 | k_h0 | v_h0 | q_h1 ...]
+    along lanes (the column order models/vit.py's fused Dense(3D) produces
+    and models/convert.py writes); returns [B, T, D] with the usual
+    per-head concat layout, ready for the output projection.
 
     Versus short_seq_attention this removes every transpose around the
     kernel: the [B,T,H,Dh] fold/unfold of q, k, v and out cost 4 HBM
     round-trips of relayout per ViT block (~40% of the measured attention
-    stage at DepthPro production shapes).
+    stage at DepthPro production shapes). The per-head layout additionally
+    makes the kernel SPMD-safe: under tensor parallelism each "model" shard
+    holds whole (q, k, v) head groups, so models/vit.py wraps this entry in
+    shard_map with zero extra collectives (VERDICT r3 next #4).
     """
     B, T, D3 = qkv.shape
     D = D3 // 3
     Dh = D // num_heads
-    lanes = qkv_lane_group(D, Dh)
+    lanes = qkv_lane_group(D3, Dh)
     assert lanes is not None, (D, Dh)
-    heads = lanes // Dh
+    heads = lanes // (3 * Dh)
     Tp = -(-T // 8) * 8
     if Tp != T:
         qkv = jnp.pad(qkv, [(0, 0), (0, Tp - T), (0, 0)])
-    G = D // lanes
-
-    def spec(part):
-        return pl.BlockSpec(
-            (1, Tp, lanes),
-            lambda b, g, _p=part: (b, 0, _p * G + g),
-            memory_space=pltpu.VMEM)
+    G = D3 // lanes
 
     out = pl.pallas_call(
         functools.partial(_qkv_kernel, T=T, scale=scale, heads=heads, Dh=Dh),
         grid=(B, G),
-        in_specs=[spec(0), spec(1), spec(2)],
-        out_specs=pl.BlockSpec((1, Tp, lanes), lambda b, g: (b, 0, g),
+        in_specs=[pl.BlockSpec((1, Tp, lanes), lambda b, g: (b, 0, g),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, Tp, lanes // 3), lambda b, g: (b, 0, g),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, Tp, D), qkv.dtype),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.default_backend() != "tpu",
-    )(qkv, qkv, qkv)
+    )(qkv)
     return out[:, :T]
 
 

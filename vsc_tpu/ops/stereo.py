@@ -175,6 +175,19 @@ def _crop_offsets(height: int, width: int, params: StereoParams) -> tuple[int, i
     return max(0, min(left, hi)), max(0, min(right, hi)), crop_w
 
 
+def _planar_u8_geometry_ok(s: dict, params: StereoParams) -> bool:
+    """Small-frame guard for the planar-u8 eye pipeline: the planar finish
+    kernel asserts crop_w >= 129 and H' >= 5 (ops/finish_pallas.py), and the
+    fused postprocess kernel's reflect-101 pad needs its halo strictly
+    smaller than the eye dims. Tiny inputs (e.g. width <= 64 at
+    super_sampling=2) fall back to the compat path — which has its own jnp
+    small-input fallbacks — instead of raising at trace time."""
+    from vsc_tpu.ops.postprocess_pallas import _halo_for
+    halo_r, halo_c = _halo_for(params.artifact_smoothing, 3, 1)
+    return (s["crop_w"] >= 129 and s["up_h"] >= 5
+            and halo_r < s["up_h"] and halo_c < s["up_w"])
+
+
 @functools.partial(jax.jit, static_argnames=("params", "depth_max"))
 def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     import jax.numpy as jnp
@@ -213,7 +226,8 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
     _ff = (params.super_sampling > 1.0 and float(ratio).is_integer()
            and os.environ.get("VSC_TPU_FINISH") != "jnp" and on_tpu)
     planar_u8 = (planar and _ff
-                 and os.environ.get("VSC_TPU_POSTPROCESS") != "jnp")
+                 and os.environ.get("VSC_TPU_POSTPROCESS") != "jnp"
+                 and _planar_u8_geometry_ok(s, params))
     rgb_cf = None
     if params.super_sampling > 1.0:
         depth_n = resize(depth_n, s["up_h"], s["up_w"], "bilinear")

@@ -42,11 +42,16 @@ import os
 # column-chunk width for per-chunk range predication (lane-aligned; 512
 # measured best vs 256 at production widths — see BASELINE.md r3 notes)
 _CHUNK_C = int(os.environ.get("VSC_TPU_WARP_CHUNK", "512"))
+# a non-multiple-of-128 chunk silently breaks the lane alignment of every
+# osl/ssl slice below (perf cliff or Mosaic lowering error) — validate at
+# import like VSC_TPU_PP_BLOCK_C does
+assert _CHUNK_C % 128 == 0, "VSC_TPU_WARP_CHUNK must be a multiple of 128"
 
 # shifts per predicated group: the running best is register-carried within
 # a group, refs touched only at group boundaries; larger groups cut ref
 # round-trips but predicate coarser (8 measured best of {8,12,16} on v5e)
 _GRP = int(os.environ.get("VSC_TPU_WARP_GRP", "8"))
+assert _GRP >= 1, "VSC_TPU_WARP_GRP must be >= 1"
 
 
 def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
@@ -221,7 +226,8 @@ def _auto_block_rows(width: int, pad: int) -> int:
 @functools.partial(jax.jit, static_argnames=("max_disparity", "block_rows"))
 def forward_warp_stereo_pallas(image, depth, max_disparity: float,
                                block_rows: int | None = None):
-    """Drop-in equivalent of ops.warp.forward_warp_stereo.
+    """Drop-in replacement for ops.warp.forward_warp_stereo up to the
+    postprocess entry's quantization point.
 
     Args:
       image: [B, H, W, C] float32 (C == 3).
@@ -229,7 +235,12 @@ def forward_warp_stereo_pallas(image, depth, max_disparity: float,
       max_disparity: static maximum disparity in pixels.
 
     Returns:
-      (left, left_mask, right, right_mask) with the jnp version's semantics.
+      (left, left_mask, right, right_mask). Colors are
+      floor(clip(., 0, 255)) u8-valued f32 — the jnp path keeps the raw
+      fractional f32 until the postprocess entry applies this exact
+      quantization, which is where the two backends coincide
+      (ops/stereo._postprocess_eye; tests floor the jnp reference before
+      comparing). Masks are identical to the jnp path's.
     """
     B, H, W, C = image.shape
     assert C == 3, "pallas warp kernel expects RGB"

@@ -294,6 +294,27 @@ class Orchestrator:
         except ConfigError:
             return True
 
+    def stuck_workflows(self) -> list[str]:
+        """Workflows that count as 'finished' only because a persistent step
+        reached ERROR — permanently stuck, not completed. The reference
+        conflates the two in its final message (its validate path assigns
+        ERROR and its completion check then reads it as done,
+        workflow_orchestrator.py:264-287 vs 340-355); we inherit the
+        scheduling semantics but report stuck workflows distinctly."""
+        return [p for p, wf in self.workflows.items()
+                if any(self._status(wf, s) == StepStatus.ERROR
+                       for s in PERSISTENT_STEPS)]
+
+    def completion_message(self, already: bool = False) -> str:
+        stuck = self.stuck_workflows()
+        word = "already " if already else ""
+        if stuck:
+            done = len(self.workflows) - len(stuck)
+            names = ", ".join(Path(p).name for p in stuck)
+            return (f"[yellow]{done} workflow(s) {word}completed, "
+                    f"{len(stuck)} stuck (ERROR): {names}[/yellow]")
+        return f"[green]All workflows {word}completed![/green]"
+
     def all_finished(self) -> bool:
         if self.active:
             return False
@@ -565,7 +586,7 @@ class Orchestrator:
 
         last_resync = time.monotonic()
         if self.all_finished():
-            self.log("[green]All workflows already completed![/green]")
+            self.log(self.completion_message(already=True))
             return
 
         import signal
@@ -594,7 +615,7 @@ class Orchestrator:
                     self.save_state()
                 await self.schedule_once()
                 if self.all_finished():
-                    self.log("[green]All workflows completed![/green]")
+                    self.log(self.completion_message())
                     break
         await self.shutdown()
 
