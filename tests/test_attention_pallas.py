@@ -37,7 +37,7 @@ def test_group_size_divides():
 
 
 @pytest.mark.parametrize("B,T,H,Dh", [
-    (2, 37, 4, 64),    # unaligned T; 256-lane group = 4 heads
+    (2, 37, 4, 64),    # unaligned T; 768-lane group = all 4 heads
     (3, 577, 16, 64),  # production geometry (ViT-L tile)
     (2, 64, 2, 128),   # Dh == lane tile
 ])
@@ -45,20 +45,21 @@ def test_qkv_attention_matches_einsum(B, T, H, Dh):
     from vsc_tpu.ops.attention_pallas import (qkv_lane_group,
                                               qkv_short_seq_attention)
     D = H * Dh
-    assert qkv_lane_group(D, Dh) is not None
+    assert qkv_lane_group(3 * D, Dh) is not None
     rng = np.random.default_rng(1)
-    qkv = jnp.asarray(rng.normal(0, 1, (B, T, 3 * D)).astype(np.float32))
+    # per-head interleaved fused layout: [q_h0 | k_h0 | v_h0 | q_h1 | ...]
+    qkv = jnp.asarray(rng.normal(0, 1, (B, T, H, 3, Dh)).astype(np.float32))
     scale = 1.0 / np.sqrt(Dh)
-    got = np.asarray(qkv_short_seq_attention(qkv, H, scale))
-    q = qkv[..., :D].reshape(B, T, H, Dh)
-    k = qkv[..., D:2 * D].reshape(B, T, H, Dh)
-    v = qkv[..., 2 * D:].reshape(B, T, H, Dh)
+    got = np.asarray(
+        qkv_short_seq_attention(qkv.reshape(B, T, 3 * D), H, scale))
+    q, k, v = (qkv[:, :, :, i, :] for i in range(3))     # [B, T, H, Dh]
     want = np.asarray(einsum_attention(q, k, v, scale)).reshape(B, T, D)
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
 def test_qkv_lane_group_rules():
     from vsc_tpu.ops.attention_pallas import qkv_lane_group
-    assert qkv_lane_group(1024, 64) in (128, 256, 512)
-    assert qkv_lane_group(1024, 64) % 64 == 0
-    assert qkv_lane_group(96, 48) is None  # 96 lanes not a tile multiple
+    # ViT-L: D3=3072, 3*Dh=192 -> lcm(192,128)=384 step -> best 1536 = 8 heads
+    assert qkv_lane_group(3 * 1024, 64) == 1536
+    # a lane group must hold whole per-head (q,k,v) blocks
+    assert qkv_lane_group(3 * 96, 48) is None  # 288 % lcm(144,128) != 0

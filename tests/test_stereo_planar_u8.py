@@ -79,3 +79,16 @@ def test_planar_pyramid_matches_channel_last():
     np.testing.assert_allclose(np.asarray(got),
                                np.moveaxis(np.asarray(ref), -1, 0),
                                rtol=1e-5, atol=1e-4)
+
+
+def test_small_frame_falls_back_gracefully(monkeypatch):
+    """ADVICE r3: a tiny video (crop_w < 129 after supersampling) must take
+    the compat path instead of tripping the planar finish kernel's
+    geometry assert at trace time."""
+    from vsc_tpu.ops import stereo
+
+    rgb, depth = _content(h=24, w=48)  # crop_w = 96 at super_sampling=2
+    monkeypatch.setenv("VSC_TPU_SBS", "planar")
+    out = np.asarray(stereo.generate_sbs(rgb, depth, _PARAMS))
+    assert out.shape == (1, 24, 96, 3)
+    stereo._generate_sbs_impl.clear_cache()

@@ -73,6 +73,7 @@ def test_packed_carry_matches_legacy(monkeypatch):
 
     import jax
 
+    monkeypatch.setenv("VSC_TPU_WARP_PACKED", "0")  # packed is the default
     legacy = forward_warp_stereo_pallas_planar_u8(rgb_cf, depth, 6.0)
     monkeypatch.setenv("VSC_TPU_WARP_PACKED", "1")
     jax.clear_caches()

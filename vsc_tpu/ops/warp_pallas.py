@@ -76,8 +76,9 @@ def _warp_kernel(disp_ref, r_ref, g_ref, b_ref,
         the carried source frac plus the key's class band (ceil-class keys
         live in [2, 3], floor-class in [0, 1]): 3 selects per shift and
         40% less group-boundary scratch traffic. Outputs are bit-identical
-        (tests/test_warp_pallas.py runs both). Kept opt-in until its relay
-        compile time is validated on hardware.
+        (tests/test_warp_pallas.py runs both). DEFAULT since r4: measured
+        -3.0 ms/frame SBS on v5e (57.1 -> 54.1 at 1080p defaults);
+        VSC_TPU_WARP_PACKED=0 reverts to the legacy carry.
 
     The shift loop is predicated per COLUMN CHUNK (r3): a full-width row
     strip of scene-like depth spans most of the disparity range, so
@@ -215,6 +216,9 @@ def _auto_block_rows(width: int, pad: int) -> int:
     OVERSTATES today's u8-output kernel, but production widths still land
     on the measured-best 24 rows and loosening it would silently change
     every compiled block geometry."""
+    override = os.environ.get("VSC_TPU_WARP_ROWS")
+    if override:
+        return int(override)
     budget = 72 * 1024 * 1024
     for rows in (24, 16, 8):
         per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
@@ -313,7 +317,7 @@ def _warp_planes(planes, depth, max_disparity: float,
                            memory_space=pltpu.VMEM)
     out_spec = pl.BlockSpec((4, block_rows, W), lambda i: (0, i, 0),
                             memory_space=pltpu.VMEM)
-    packed = os.environ.get("VSC_TPU_WARP_PACKED", "0") == "1"
+    packed = os.environ.get("VSC_TPU_WARP_PACKED", "1") == "1"
     out_shape = [jax.ShapeDtypeStruct((4, rows, W), jnp.uint8)] * 2
     scratch = [pltpu.VMEM((block_rows, W), jnp.float32)] * (6 if packed
                                                             else 10)
