@@ -199,9 +199,24 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
         sigma_space = smoothing * 25.0
         inv2sc = -0.5 / (sigma_color * sigma_color)
         stacked = win[:3]                                # [3, WR, WC]
-        num = jnp.zeros((3, WR, WC), jnp.float32)
-        den = jnp.zeros((WR, WC), jnp.float32)
+        # center tap: cdiff = 0 -> range weight exp(0) = 1, space weight
+        # exp(0) = 1, so it contributes the pixel itself with weight 1
+        num = stacked + 0.0
+        den = jnp.ones((WR, WC), jnp.float32)
+        # SYMMETRIC PAIRING (r4): w(p, p+d) depends on |x[p+d] - x[p]|,
+        # which is symmetric, so the weight plane for offset -d is exactly
+        # the +d weight plane rolled by -d: wgt_{-d}[p] = wgt_{+d}[p-d].
+        # One roll replaces the whole abs/square/exp chain for half the
+        # taps. Roll wrap-garbage stays in the outer |d| <= radius ring of
+        # the window — the same ring the direct form corrupts (its shifted
+        # operand wraps there too), so validity margins are unchanged and
+        # every weight VALUE is bit-identical to the unpaired form (only
+        # the accumulation order changes: +-d adjacent instead of
+        # row-major, a <= 1-ulp reassociation absorbed by the output
+        # rounding and the tests' 1-code interior tolerance).
         for dy, dx in _bilateral_offs(radius):
+            if (dy, dx) <= (0, 0):
+                continue                  # center above; -d handled with +d
             sw = math.exp(-0.5 * (dy * dy + dx * dx)
                           / (sigma_space * sigma_space))
             sh = _shift3(stacked, dy, dx)
@@ -210,6 +225,10 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
             wgt = sw * jnp.exp(inv2sc * (cdiff * cdiff))
             num = num + wgt * sh
             den = den + wgt
+            sh_m = _shift3(stacked, -dy, -dx)
+            wgt_m = _shift(wgt, -dy, -dx)
+            num = num + wgt_m * sh_m
+            den = den + wgt_m
         chans = [jnp.floor(jnp.clip(jnp.round(num[k] / den), 0.0, 255.0))
                  for k in range(3)]
 
@@ -284,11 +303,32 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
                     return jnp.concatenate(
                         [vals, jnp.maximum(known, reach)[None]], axis=0)
 
-                carry = jax.lax.fori_loop(
-                    0, sweeps, one_sweep,
-                    jnp.concatenate(
+                # EARLY EXIT (r4): disocclusions are mostly 1-2 px wide at
+                # production disparity, so sweep 1 usually reaches every
+                # in-image hole pixel — later sweeps are then the identity
+                # for in-image pixels (known pixels keep their values) and
+                # are skipped. The count restricts to in-image pixels: the
+                # halo's out-of-image margin may stay unknown forever and
+                # must not pin the loop. Skipping changes only never-read
+                # pad values plus a <= polish-radius border ring, inside
+                # the kernel's documented border deviation.
+                inimg_s = inimg[ssl]
+
+                def sweep_cond(state):
+                    it, c = state
+                    return jnp.logical_and(
+                        it < sweeps,
+                        jnp.sum((1.0 - c[3]) * inimg_s) > 0.0)
+
+                def sweep_step(state):
+                    it, c = state
+                    return it + 1, one_sweep(it, c)
+
+                _, carry = jax.lax.while_loop(
+                    sweep_cond, sweep_step,
+                    (jnp.int32(0), jnp.concatenate(
                         [jnp.stack(chans_s) * known0, known0[None]],
-                        axis=0))
+                        axis=0)))
                 val = [carry[0], carry[1], carry[2]]
                 known = carry[3]
 

@@ -293,18 +293,24 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         eye_l, eye_r = forward_warp_stereo_pallas_planar_u8(
             rgb_cf, depth_n, params.max_disparity)
 
-        def eye_body_u8(args):
-            eye4, off = args                       # [4, B, H', W'] u8
-            smooth_q = _pyramid_fill_planar_coarse(eye4)
-            out = postprocess_eye_planar_pallas(
-                eye4, smooth_q, params.artifact_smoothing)
-            out = jax.lax.dynamic_slice_in_dim(out, off, crop_w, axis=3)
-            return sharpen_downscale_planar(
-                out, int(ratio), float(params.sharpen), H, W)
-
-        finals = jax.lax.map(eye_body_u8,
-                             (jnp.stack([eye_l, eye_r]), eye_offsets))
-        sbs = jnp.concatenate([finals[0], finals[1]], axis=3)
+        # Both eyes ride ONE batched pyramid + postprocess + finish program
+        # (r4; previously lax.map ran them as two serial dispatches): same
+        # total work, half the kernel launches, and the postprocess's
+        # double-buffered halo DMA pipelines across the eye boundary. The
+        # u8 planes keep peak HBM well inside budget (the sequential form
+        # existed for the f32 jnp path's sake).
+        B2 = eye_l.shape[1]
+        pair = jnp.concatenate([eye_l, eye_r], axis=1)   # [4, 2B, H', W']
+        smooth_q = _pyramid_fill_planar_coarse(pair)
+        out = postprocess_eye_planar_pallas(
+            pair, smooth_q, params.artifact_smoothing)
+        cropped = jnp.concatenate([
+            jax.lax.slice_in_dim(out[:, :B2], lo, lo + crop_w, axis=3),
+            jax.lax.slice_in_dim(out[:, B2:], ro, ro + crop_w, axis=3),
+        ], axis=1)
+        fin = sharpen_downscale_planar(
+            cropped, int(ratio), float(params.sharpen), H, W)  # [3, 2B, H, W]
+        sbs = jnp.concatenate([fin[:, :B2], fin[:, B2:]], axis=3)
         return jnp.moveaxis(sbs, 0, -1)            # [B, H, 2W, 3] u8
 
     # 6. forward warp
