@@ -97,19 +97,13 @@ def main():
 
     def p4(rgb_u8, depth_u8):
         eye_l, eye_r = p3(rgb_u8, depth_u8)
-        sm = jax.lax.map(_pyramid_fill_planar_coarse,
-                         jnp.stack([eye_l, eye_r]))
-        return eye_l, eye_r, sm
+        pair = jnp.concatenate([eye_l, eye_r], axis=1)   # merged (r4)
+        return pair, _pyramid_fill_planar_coarse(pair)
 
     def p5(rgb_u8, depth_u8):
-        eye_l, eye_r = p3(rgb_u8, depth_u8)
-
-        def body(eye4):
-            sm = _pyramid_fill_planar_coarse(eye4)
-            return postprocess_eye_planar_pallas(
-                eye4, sm, params.artifact_smoothing)
-
-        return jax.lax.map(body, jnp.stack([eye_l, eye_r]))
+        pair, sm = p4(rgb_u8, depth_u8)
+        return postprocess_eye_planar_pallas(
+            pair, sm, params.artifact_smoothing)
 
     # small reductions so output transfer stays negligible
     wrap = {
@@ -123,7 +117,7 @@ def main():
             x[:, :, ::7].sum() for x in p3(a, b)),
         "P4 +pyramid": lambda a, b: tuple(
             x[..., ::7].sum() for x in p4(a, b)),
-        "P5 +postprocess": lambda a, b: p5(a, b)[:, :, :, ::7].sum(),
+        "P5 +postprocess": lambda a, b: p5(a, b)[:, :, ::7].sum(),
     }
 
     full = functools.partial(st.generate_sbs, params=params)

@@ -195,8 +195,32 @@ def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
         img = eye4[:3].astype(jnp.float32) * msk           # [3, B, H, W]
         for _ in range(n_pre):
             img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
+    # Deep-pyramid tail as ONE Pallas kernel (r4): the ~12-level down/up
+    # ladder is ~50 SERIAL small-tensor XLA ops — latency-bound, ~4-5
+    # ms/frame. The top couple of below-quarter levels stay jnp (they are
+    # cheap and their large transposes explode Mosaic compile time inside
+    # a kernel); everything from ~1/16 resolution down runs on-chip per
+    # (eye, frame) with bit-identical levels (ops/pyramid_pallas.py).
+    # VSC_TPU_PYR=jnp opts out; VSC_TPU_PYR_KMAX tunes the handoff size.
     # (a bf16 below-quarter pyramid was measured r4: only -0.6 ms/frame —
     # not worth the quality risk to the interior estimate; stays f32)
+    if ((jax.default_backend() == "tpu"
+         or os.environ.get("VSC_TPU_SBS") == "planar")
+            and os.environ.get("VSC_TPU_PYR") != "jnp"):
+        from vsc_tpu.ops.pyramid_pallas import pyramid_fill_below
+        kmax = int(os.environ.get("VSC_TPU_PYR_KMAX", "384"))
+        upper = []
+        while max(img.shape[-2], img.shape[-1]) > kmax:
+            upper.append((img, msk))
+            img, msk = _avgpool2_hw(img), _avgpool2_hw(msk)
+        filled = pyramid_fill_below(
+            jnp.concatenate([img, msk[None]], axis=0))
+        for img_l, msk_l in reversed(upper):
+            up = _upsample_nearest_hw(filled, img_l.shape[-2],
+                                      img_l.shape[-1], 2)
+            local = img_l / jnp.maximum(msk_l, 1e-8)
+            filled = jnp.where(msk_l > 1e-8, local, up)
+        return filled
     levels = []
     size = max(img.shape[-2], img.shape[-1])
     while size > 1:

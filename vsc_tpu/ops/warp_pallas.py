@@ -210,17 +210,18 @@ def _auto_block_rows(width: int, pad: int) -> int:
     ~20 ms of pure overhead), but Mosaic compile time scales with
     rows x width x loop-iterations — 64-row blocks at production widths
     push the unrolled shift loop past 10^6 vector ops and LLVM takes tens
-    of minutes. 16 rows halves the 8-row overhead at 2x the round-1 IR;
-    also bounded by a VMEM budget for narrow inputs. The per_row model
-    deliberately keeps the round-1 (f32-output) byte accounting: it
-    OVERSTATES today's u8-output kernel, but production widths still land
-    on the measured-best 24 rows and loosening it would silently change
-    every compiled block geometry."""
+    of minutes. Also bounded by a VMEM budget for narrow inputs. The
+    per_row model deliberately keeps the round-1 (f32-output) byte
+    accounting: it OVERSTATES today's u8-output kernel, but production
+    widths still land on the measured-best rows and loosening it would
+    silently change every compiled block geometry. 32 rows measured best
+    with the packed 3-carry scan (r4 sweep 16/24/32/48: 48.1/46.7/45.3/
+    45.9 ms/frame SBS); VSC_TPU_WARP_ROWS overrides."""
     override = os.environ.get("VSC_TPU_WARP_ROWS")
     if override:
         return int(override)
     budget = 72 * 1024 * 1024
-    for rows in (24, 16, 8):
+    for rows in (32, 24, 16, 8):
         per_row = (2 * 4 * (width + 2 * pad) + 2 * 10 * width + 10 * width) * 4
         if rows * per_row <= budget:
             return rows
