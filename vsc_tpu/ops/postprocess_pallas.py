@@ -110,6 +110,22 @@ def _shift3(a, dy: int, dx: int):
     return a
 
 
+def _row_cache(stack, radius: int):
+    """{dy: row-rolled stack} for dy in [-radius, radius]: rolls compose
+    exactly (roll(dy) then roll(dx) == the combined roll), so a disc stencil
+    pays one sublane roll per DISTINCT dy plus one lane roll per tap —
+    instead of up to two rolls per tap. Bit-identical values (r4)."""
+    return {dy: (pltpu.roll(stack, (-dy) % stack.shape[1], 1) if dy else stack)
+            for dy in range(-radius, radius + 1)}
+
+
+def _from_cache(cache, dy: int, dx: int):
+    a = cache[dy]
+    if dx:
+        a = pltpu.roll(a, (-dx) % a.shape[2], 2)
+    return a
+
+
 def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
             *, H: int, W: int, halo_r: int, halo_c: int, smoothing: float,
             sweeps: int, polish: int, sigma_color: float, nb: int, nr: int,
@@ -214,18 +230,19 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
         # the accumulation order changes: +-d adjacent instead of
         # row-major, a <= 1-ulp reassociation absorbed by the output
         # rounding and the tests' 1-code interior tolerance).
+        rows = _row_cache(stacked, radius)
         for dy, dx in _bilateral_offs(radius):
             if (dy, dx) <= (0, 0):
                 continue                  # center above; -d handled with +d
             sw = math.exp(-0.5 * (dy * dy + dx * dx)
                           / (sigma_space * sigma_space))
-            sh = _shift3(stacked, dy, dx)
+            sh = _from_cache(rows, dy, dx)
             cdiff = (jnp.abs(sh[0] - chans[0]) + jnp.abs(sh[1] - chans[1])
                      + jnp.abs(sh[2] - chans[2]))
             wgt = sw * jnp.exp(inv2sc * (cdiff * cdiff))
             num = num + wgt * sh
             den = den + wgt
-            sh_m = _shift3(stacked, -dy, -dx)
+            sh_m = _from_cache(rows, -dy, -dx)
             wgt_m = _shift(wgt, -dy, -dx)
             num = num + wgt_m * sh_m
             den = den + wgt_m
@@ -286,20 +303,24 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
                 # compile time with zero runtime benefit.
                 def one_sweep(_, carry):
                     # carry: [4, WR, sub_w] = (v0, v1, v2, known) stacked —
-                    # one roll per offset moves all four planes
-                    acc = jnp.zeros((4, WR, sub_w), jnp.float32)
+                    # row-rolled once per distinct dy (_row_cache), one
+                    # lane roll per tap; rgb/weight accumulate separately
+                    # (the old per-tap 4-plane concat cost a stack copy
+                    # per offset). Same adds in the same order per plane.
+                    acc3 = jnp.zeros((3, WR, sub_w), jnp.float32)
+                    acck = jnp.zeros((WR, sub_w), jnp.float32)
+                    rows = _row_cache(carry, _FILL_RADIUS)
                     for dy, dx, w in _FILL_OFFS:
-                        sh = _shift3(carry, dy, dx)
-                        kk = sh[3]
-                        acc = acc + jnp.concatenate(
-                            [(w * kk) * sh[:3], (w * kk)[None]], axis=0)
-                    den = acc[3]
+                        sh = _from_cache(rows, dy, dx)
+                        wk = w * sh[3]
+                        acc3 = acc3 + wk * sh[:3]
+                        acck = acck + wk
                     known = carry[3]
-                    reach = (den > 1e-8).astype(jnp.float32)
+                    reach = (acck > 1e-8).astype(jnp.float32)
                     upd = (1.0 - known) * reach
-                    inv_den = 1.0 / jnp.maximum(den, 1e-8)
+                    inv_den = 1.0 / jnp.maximum(acck, 1e-8)
                     vals = (carry[:3] * (1.0 - upd)
-                            + (acc[:3] * inv_den) * upd)
+                            + (acc3 * inv_den) * upd)
                     return jnp.concatenate(
                         [vals, jnp.maximum(known, reach)[None]], axis=0)
 
@@ -342,10 +363,12 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
                 # disc (mirrors ops/inpaint.pyramid_inpaint's polish —
                 # approximates Telea's large-neighborhood averaging)
                 def one_polish(_, carry):
-                    # carry: [3, WR, sub_w] channel stack, one roll/offset
+                    # carry: [3, WR, sub_w] channel stack; row-rolled once
+                    # per distinct dy, one lane roll per tap
                     acc = jnp.zeros((3, WR, sub_w), jnp.float32)
+                    rows = _row_cache(carry, _POLISH_RADIUS)
                     for dy, dx, w in _POLISH_OFFS:
-                        acc = acc + w * _shift3(carry, dy, dx)
+                        acc = acc + w * _from_cache(rows, dy, dx)
                     return jnp.where(keep_s > 0, carry, acc / wsum)
 
                 val = jax.lax.fori_loop(0, polish, one_polish,
