@@ -56,6 +56,36 @@ import time
 REFERENCE_FLOOR_FPS = 0.95  # documented estimate, see module docstring
 
 
+def bench_content(H: int, W: int):
+    """Deterministic synthetic content with real-video statistics (smooth
+    regions + edges + fine texture) rather than uniform noise: noise makes
+    EVERY pixel a depth discontinuity, so the postprocess kernel's
+    per-block hole predication never triggers and the SBS time measures a
+    pathological worst case no actual video exhibits. Same content class
+    as the quality gate in tests/test_ssim_realistic.py.
+
+    The depth map is the one the SBS stage is TIMED on: smooth scene-like
+    structure (depth plane + blocks), the statistics a real DepthPro map
+    has. The depth stage still times the real model on the frames; its
+    output is NOT used for SBS because random-init weights produce noise
+    depth, which turns every pixel into a disocclusion.
+
+    Returns (frame [H, W, 3] u8, depth [H, W] u8)."""
+    import numpy as np
+
+    rng = np.random.default_rng(0)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    base = 0.5 + 0.5 * np.sin(xx / 97.0) * np.cos(yy / 53.0)
+    blocks = ((xx // 240).astype(int) % 3 == (yy // 135).astype(int) % 3)
+    tex = rng.normal(0, 0.04, (H, W)).astype(np.float32)
+    plane = np.clip(base * 0.6 + blocks * 0.3 + tex, 0, 1)
+    frame = np.stack([plane, 0.8 * plane + 0.1, 1.0 - 0.7 * plane], -1)
+    frame = (frame * 255).astype(np.uint8)
+    d = 0.45 + 0.35 * np.sin(xx / 311.0) * np.cos(yy / 173.0) + blocks * 0.15
+    depth = (np.clip(d, 0, 1) * 255).astype(np.uint8)
+    return frame, depth
+
+
 def build_workload():
     from vsc_tpu.utils.jax_setup import setup_jax
     setup_jax()  # persistent XLA cache: repeat bench runs start warm
@@ -94,31 +124,8 @@ def build_workload():
     else:
         cfg = None
 
-    # Deterministic synthetic content with real-video statistics (smooth
-    # regions + edges + fine texture) rather than uniform noise: noise makes
-    # EVERY pixel a depth discontinuity, so the postprocess kernel's
-    # per-block hole predication never triggers and the SBS time measures a
-    # pathological worst case no actual video exhibits. Same content class
-    # as the quality gate in tests/test_ssim_realistic.py.
-    rng = np.random.default_rng(0)
-    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
-    base = 0.5 + 0.5 * np.sin(xx / 97.0) * np.cos(yy / 53.0)
-    blocks = ((xx // 240).astype(int) % 3 == (yy // 135).astype(int) % 3)
-    tex = rng.normal(0, 0.04, (H, W)).astype(np.float32)
-    plane = np.clip(base * 0.6 + blocks * 0.3 + tex, 0, 1)
-    frame = np.stack([plane, 0.8 * plane + 0.1, 1.0 - 0.7 * plane], -1)
-    frame = (frame * 255).astype(np.uint8)
+    frame, depth_real = bench_content(H, W)
     frames = jnp.asarray(np.broadcast_to(frame, (batch, H, W, 3)).copy())
-
-    # The depth map the SBS stage is TIMED on: smooth scene-like structure
-    # (depth plane + blocks), the statistics a real DepthPro map has. The
-    # depth stage above still times the real model on `frames`; its output
-    # is NOT used here because random-init weights produce noise depth,
-    # which turns every pixel into a disocclusion — a worst case no actual
-    # video exhibits (same rationale as the frame content; the SSIM quality
-    # gates in tests/test_ssim_realistic.py use this same content class).
-    d = 0.45 + 0.35 * np.sin(xx / 311.0) * np.cos(yy / 173.0) + blocks * 0.15
-    depth_real = (np.clip(d, 0, 1) * 255).astype(np.uint8)
     depth_sbs = jnp.asarray(
         np.broadcast_to(depth_real, (batch, H, W)).copy())
 
@@ -268,7 +275,8 @@ def main() -> None:
     if os.environ.get("BENCH_SSIM", "1") != "0":
         try:
             extras["ssim_vs_oracle"] = measure_ssim(frames, depth_sbs, sbs)
-        except Exception as e:  # quality gate must not sink the metric
+            extras.update(measure_ssim_extra(frames))
+        except Exception as e:
             extras["ssim_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("BENCH_EXTRAS", "1") != "0":
         extras.update(measure_extras(frames, run_depth, run_sbs, batch,
@@ -280,12 +288,28 @@ def main() -> None:
         from vsc_tpu.utils.flops import V5E_PEAK_BF16, depthpro_flops
         flops = depthpro_flops(DepthProConfig(use_fov_head=False), 1)
         mfu = round(100.0 * flops / ((t_depth / n) * V5E_PEAK_BF16), 1)
+    # Quality gate (VERDICT r4 #2b): the headline may not outlive a broken
+    # kernel. Every hardware SSIM point must clear 0.99 or vs_baseline reads
+    # 0 — a measurement ERROR also fails the gate (a broken oracle path must
+    # not launder a broken kernel). BENCH_SSIM=0 marks the gate SKIPPED and
+    # likewise forfeits the vs_baseline claim.
+    ssims = [v for k, v in extras.items() if k.startswith("ssim_")
+             and isinstance(v, (int, float))]
+    if os.environ.get("BENCH_SSIM", "1") == "0":
+        gate = "SKIPPED"
+    elif "ssim_error" in extras or not ssims:
+        gate = "FAIL"
+    else:
+        gate = "PASS" if min(ssims) >= 0.99 else "FAIL"
+    vs_baseline = round(fps / REFERENCE_FLOOR_FPS, 2) if gate == "PASS" else 0.0
+
     result = {
         "metric": "1080p frames/sec/chip end-to-end (depth+SBS)",
         "value": round(fps, 3),
         "unit": "frames/sec",
-        "vs_baseline": round(fps / REFERENCE_FLOOR_FPS, 2),
+        "vs_baseline": vs_baseline,
         "detail": {
+            "quality_gate": gate,
             "device": str(jax.devices()[0]),
             "batch": batch,
             "iters": iters,
@@ -302,44 +326,97 @@ def main() -> None:
     print(json.dumps(result))
 
 
-def measure_ssim(frames, depth_sbs, sbs_dev) -> float:
-    """Hardware SSIM gate for the SHIPPING kernels (VERDICT r3 next #2): the
-    1080p SBS frame from the exact compiled program the fps number timed,
-    against the independent reference-semantics oracle (tests/oracle.py,
-    torch/cv2: Lanczos pre-stretch, depth-sorted splat, cv2 bilateral +
-    Telea inpaint) at reference-default StereoParams on the bench's
-    realistic content. The oracle result is content-addressed-cached on
-    disk — it is deterministic pure-CPU ground truth costing ~1 min/frame
-    on this 1-core host — while the TPU side is recomputed every run, so a
-    kernel quality regression cannot hide behind a warm cache."""
-    import hashlib
+def _oracle_module():
     import sys
+    from pathlib import Path
+    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
+    import oracle
+    return oracle
+
+
+def oracle_sbs(frame, depth, params):
+    """Reference-semantics oracle SBS frame (tests/oracle.py — independent
+    torch/cv2: Lanczos pre-stretch, depth-sorted splat, cv2 bilateral +
+    Telea inpaint), content-addressed-cached on disk. The cache key hashes
+    the ORACLE SOURCE itself (VERDICT r4 #8) alongside content+params, so an
+    oracle edit can never serve a stale ground truth."""
+    import hashlib
     from pathlib import Path
 
     import numpy as np
 
-    ours = np.asarray(sbs_dev)[0]
-    frame = np.asarray(frames)[0]
-    depth = np.asarray(depth_sbs)[0]
-
-    sys.path.insert(0, str(Path(__file__).resolve().parent / "tests"))
-    import oracle
-
-    from vsc_tpu.config import StereoParams
-    p = StereoParams()
+    oracle = _oracle_module()
+    src_hash = hashlib.sha256(
+        Path(oracle.__file__).read_bytes()).hexdigest()[:16]
     key = hashlib.sha256(frame.tobytes() + depth.tobytes()
-                         + repr(p).encode() + b"|oracle-v1").hexdigest()
+                         + repr(params).encode()
+                         + f"|oracle-src-{src_hash}".encode()).hexdigest()
     cache = Path(os.environ.get(
         "VSC_TPU_ORACLE_CACHE",
         str(Path.home() / ".cache" / "vsc_tpu_oracle")))
     cache.mkdir(parents=True, exist_ok=True)
     ref_file = cache / f"{key}.npy"
     if ref_file.exists():
-        ref = np.load(ref_file)
-    else:
-        ref = oracle.process_frame(frame, depth, p)
-        np.save(ref_file, ref)
+        return np.load(ref_file)
+    ref = oracle.process_frame(frame, depth, params)
+    np.save(ref_file, ref)
+    return ref
+
+
+def measure_ssim(frames, depth_sbs, sbs_dev) -> float:
+    """Hardware SSIM gate for the SHIPPING kernels (VERDICT r3 next #2): the
+    1080p SBS frame from the exact compiled program the fps number timed,
+    against the independent reference-semantics oracle at reference-default
+    StereoParams on the bench's realistic content. The oracle side is
+    deterministic pure-CPU ground truth (~1 min/frame on this 1-core host,
+    disk-cached); the TPU side is recomputed every run, so a kernel quality
+    regression cannot hide behind a warm cache."""
+    import numpy as np
+
+    from vsc_tpu.config import StereoParams
+    oracle = _oracle_module()
+    ours = np.asarray(sbs_dev)[0]
+    ref = oracle_sbs(np.asarray(frames)[0], np.asarray(depth_sbs)[0],
+                     StereoParams())
     return round(oracle.ssim(ours, ref), 4)
+
+
+def measure_ssim_extra(frames) -> dict:
+    """Two more hardware SSIM points (VERDICT r4 #3 — any one of these
+    would have caught the round-4 right-eye crop miscompile):
+
+    - ssim_noise_depth: default params on uniform-noise depth (every pixel
+      a disocclusion — the fill/polish chain runs everywhere);
+    - ssim_alt_params: POSITIVE convergence (flips the per-eye crop-offset
+      ordering) + super_sampling=1 (the non-planar TPU path through the
+      ops/stereo gates at :218-230).
+    Each runs ONE frame end-to-end on the device and compares against the
+    disk-cached oracle."""
+    import numpy as np
+
+    from vsc_tpu.config import StereoParams
+    from vsc_tpu.ops.stereo import generate_sbs
+
+    oracle = _oracle_module()
+    frame = np.asarray(frames)[0]
+    out = {}
+
+    rng = np.random.default_rng(7)
+    noise_depth = rng.integers(0, 256, frame.shape[:2], np.uint8)
+    p_def = StereoParams()
+    ours = np.asarray(generate_sbs(frame[None], noise_depth[None], p_def))[0]
+    out["ssim_noise_depth"] = round(
+        oracle.ssim(ours, oracle_sbs(frame, noise_depth, p_def)), 4)
+
+    H, W = frame.shape[:2]
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+    d = 0.45 + 0.35 * np.sin(xx / 311.0) * np.cos(yy / 173.0)
+    depth = (np.clip(d, 0, 1) * 255).astype(np.uint8)
+    p_alt = StereoParams(convergence=10.0, super_sampling=1.0)
+    ours = np.asarray(generate_sbs(frame[None], depth[None], p_alt))[0]
+    out["ssim_alt_params"] = round(
+        oracle.ssim(ours, oracle_sbs(frame, depth, p_alt)), 4)
+    return out
 
 
 def measure_extras(frames, run_depth, run_sbs, batch, iters, sync,

@@ -129,7 +129,7 @@ def _from_cache(cache, dy: int, dx: int):
 def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
             *, H: int, W: int, halo_r: int, halo_c: int, smoothing: float,
             sweeps: int, polish: int, sigma_color: float, nb: int, nr: int,
-            nc: int, qwin_r: int, qwin_c: int):
+            nc: int, qwin_r: int, qwin_c: int, paired: bool):
     """Grid: (B, nr, nc). eye_ref: [4, B, Hp, Wp] uint8 HBM (r, g, b,
     valid — reflect-padded; see module docstring). `smooth_ref` holds the
     QUARTER-resolution interior estimate (3 f32 planes): the kernel DMAs
@@ -230,10 +230,14 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
         # the accumulation order changes: +-d adjacent instead of
         # row-major, a <= 1-ulp reassociation absorbed by the output
         # rounding and the tests' 1-code interior tolerance).
+        # VSC_TPU_PP_PAIRED=0 computes every tap's weight directly instead
+        # (the r3 form) — the hardware A/B knob for the pairing optimization
         rows = _row_cache(stacked, radius)
         for dy, dx in _bilateral_offs(radius):
-            if (dy, dx) <= (0, 0):
-                continue                  # center above; -d handled with +d
+            if (dy, dx) == (0, 0):
+                continue                  # center tap seeded above
+            if paired and (dy, dx) < (0, 0):
+                continue                  # -d handled with +d below
             sw = math.exp(-0.5 * (dy * dy + dx * dx)
                           / (sigma_space * sigma_space))
             sh = _from_cache(rows, dy, dx)
@@ -242,10 +246,11 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
             wgt = sw * jnp.exp(inv2sc * (cdiff * cdiff))
             num = num + wgt * sh
             den = den + wgt
-            sh_m = _from_cache(rows, -dy, -dx)
-            wgt_m = _shift(wgt, -dy, -dx)
-            num = num + wgt_m * sh_m
-            den = den + wgt_m
+            if paired:
+                sh_m = _from_cache(rows, -dy, -dx)
+                wgt_m = _shift(wgt, -dy, -dx)
+                num = num + wgt_m * sh_m
+                den = den + wgt_m
         chans = [jnp.floor(jnp.clip(jnp.round(num[k] / den), 0.0, 255.0))
                  for k in range(3)]
 
@@ -443,7 +448,8 @@ def postprocess_eye_planar_pallas(eye4, smooth_q, smoothing: float,
     kernel = functools.partial(
         _kernel, H=H, W=W, halo_r=halo_r, halo_c=halo_c,
         smoothing=smoothing, sweeps=sweeps, polish=polish, sigma_color=30.0,
-        nb=B, nr=nr, nc=nc, qwin_r=qwin_r, qwin_c=qwin_c)
+        nb=B, nr=nr, nc=nc, qwin_r=qwin_r, qwin_c=qwin_c,
+        paired=os.environ.get("VSC_TPU_PP_PAIRED", "1") == "1")
 
     hbm = pl.BlockSpec(memory_space=pl.ANY)
     out = pl.pallas_call(

@@ -304,10 +304,21 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         smooth_q = _pyramid_fill_planar_coarse(pair)
         out = postprocess_eye_planar_pallas(
             pair, smooth_q, params.artifact_smoothing)
-        cropped = jnp.concatenate([
+        # Per-eye convergence crop. The optimization_barrier is LOAD-BEARING:
+        # the axon TPU backend miscompiles a fused
+        # concat(slice(x[:, :B], lo), slice(x[:, B:], ro)) — the second
+        # operand comes back sliced at lo (uniform ro-lo column shift of the
+        # whole right eye; round-4 hardware SSIM 0.5772, right-eye 0.159).
+        # Hardware-verified 2026-08-19 (scripts/repro_concat_slice.py): the
+        # fused form is wrong for u8 AND f32, static AND dynamic slices; the
+        # barrier form and vmapped dynamic_slice both compute correctly.
+        # CPU/interpret are unaffected, so only the hardware SSIM gate
+        # (bench.py measure_ssim, verify skill) can catch a regression here.
+        eye_crops = jax.lax.optimization_barrier((
             jax.lax.slice_in_dim(out[:, :B2], lo, lo + crop_w, axis=3),
             jax.lax.slice_in_dim(out[:, B2:], ro, ro + crop_w, axis=3),
-        ], axis=1)
+        ))
+        cropped = jnp.concatenate(eye_crops, axis=1)
         fin = sharpen_downscale_planar(
             cropped, int(ratio), float(params.sharpen), H, W)  # [3, 2B, H, W]
         sbs = jnp.concatenate([fin[:, :B2], fin[:, B2:]], axis=3)
