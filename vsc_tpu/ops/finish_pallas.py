@@ -98,10 +98,16 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
         center = x[_HALO:_HALO + IBR, 128:128 + IBC]
         sharp = jnp.clip(center + strength * (center - blur), 0.0, 255.0)
 
+        # HIGHEST precision: the default single-pass bf16 MXU matmul
+        # truncates the sharpened f32 values (~2^-9 relative) — +-1..2 u8
+        # codes on ~half the output (round-5 stage_hw_vs_interp); the box
+        # average must match the exact jnp path for the SSIM gate.
         tmp = jax.lax.dot_general(bh, sharp, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
         res = jax.lax.dot_general(tmp, bw, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32)
+                                  preferred_element_type=jnp.float32,
+                                  precision=jax.lax.Precision.HIGHEST)
         if out_ref.dtype == jnp.uint8:
             res = jnp.floor(jnp.clip(res, 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
         out_ref[k, 0] = res

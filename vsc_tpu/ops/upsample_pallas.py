@@ -100,14 +100,28 @@ def _kernel(x_ref, o_ref, win_ref, sem, *, f: int, H: int, W: int,
     win = win_ref[slot]
     R = _band(BLOCK_R, win_r, i * BLOCK_R, in_r0(i), f, H, transpose=False)
     C = _band(BLOCK_C, win_c, j * BLOCK_C, in_c0(j), f, W, transpose=True)
+    # HIGHEST precision is LOAD-BEARING: the MXU's default single-pass bf16
+    # f32 matmul truncates the fractional weights/values (~2^-9 relative),
+    # which lands +-1..2 u8 codes on ~35% of output pixels vs the exact jnp
+    # path (round-5 stage_hw_vs_interp) and drags hardware SSIM-vs-oracle
+    # below the 0.99 gate. The 3-pass decomposition restores f32 accuracy.
     rows = jax.lax.dot_general(R, win, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32)
+                               preferred_element_type=jnp.float32,
+                               precision=jax.lax.Precision.HIGHEST)
     res = jax.lax.dot_general(rows, C, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32)
+                              preferred_element_type=jnp.float32,
+                              precision=jax.lax.Precision.HIGHEST)
     if quantize_u8:
         # fused floor-to-u8 (the warp input quantization point; exact —
-        # flooring commutes with the warp's winner-take selection)
-        res = jnp.floor(jnp.clip(res, 0.0, 255.0)).astype(
+        # flooring commutes with the warp's winner-take selection).
+        # +2^-10 before the floor: exact results live on the 1/(2f)^2 grid
+        # (integer inputs x bilinear weights k/2f), whose closest
+        # below-integer point is 1 - 1/(2f)^2 >= 1/256 away for f <= 8, so
+        # the epsilon never lifts a true non-integer — but the 3-pass MXU
+        # sum can land 1 ulp BELOW an exact integer and flip floor() a full
+        # code (4.9% of pixels, round-5 stage_hw_vs_interp); the epsilon
+        # absorbs that. Identity on the exact CPU/interpret path.
+        res = jnp.floor(jnp.clip(res + 0.0009765625, 0.0, 255.0)).astype(
             jnp.int32).astype(jnp.uint8)
     o_ref[0] = res
 
