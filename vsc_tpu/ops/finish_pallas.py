@@ -74,13 +74,18 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
     for c in copies(slot, b, i, j):
         c.wait()
 
-    # banded box matrices (ratio:1 exact area average), shared by channels
+    # banded 0/1 box-membership matrices (ratio:1 area average, the 1/ratio^2
+    # normalization divides out at the end): 0/1 entries are bf16-exact, so
+    # the MXU's DEFAULT single-pass dot loses nothing on the band side
     rows_o = jax.lax.broadcasted_iota(jnp.int32, (OUT_BLOCK_R, IBR), 0)
     rows_i = jax.lax.broadcasted_iota(jnp.int32, (OUT_BLOCK_R, IBR), 1)
-    bh = ((rows_i // ratio) == rows_o).astype(jnp.float32) / ratio
+    bh = ((rows_i // ratio) == rows_o).astype(jnp.float32)
     cols_i = jax.lax.broadcasted_iota(jnp.int32, (IBC, OUT_BLOCK_C), 0)
     cols_o = jax.lax.broadcasted_iota(jnp.int32, (IBC, OUT_BLOCK_C), 1)
-    bw = ((cols_i // ratio) == cols_o).astype(jnp.float32) / ratio
+    bw = ((cols_i // ratio) == cols_o).astype(jnp.float32)
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
     for k in range(3):
         # u8 -> i32 -> f32: Mosaic has no direct unsigned->float cast
@@ -98,16 +103,20 @@ def _kernel(img_ref, out_ref, win_ref, sem, *, ratio: int, strength: float,
         center = x[_HALO:_HALO + IBR, 128:128 + IBC]
         sharp = jnp.clip(center + strength * (center - blur), 0.0, 255.0)
 
-        # HIGHEST precision: the default single-pass bf16 MXU matmul
-        # truncates the sharpened f32 values (~2^-9 relative) — +-1..2 u8
-        # codes on ~half the output (round-5 stage_hw_vs_interp); the box
-        # average must match the exact jnp path for the SSIM gate.
-        tmp = jax.lax.dot_general(bh, sharp, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
-        res = jax.lax.dot_general(tmp, bw, (((1,), (0,)), ((), ())),
-                                  preferred_element_type=jnp.float32,
-                                  precision=jax.lax.Precision.HIGHEST)
+        # The DEFAULT single-pass bf16 MXU dot truncates the sharpened f32
+        # values (~2^-9 relative) — +-1..2 u8 codes on ~half the output
+        # (round-5 stage_hw_vs_interp), below the SSIM gate. Rather than a
+        # multi-pass precision mode (Mosaic HIGHEST = 6 passes), split the
+        # VALUE operand around the bf16 mantissa: hi/lo are both bf16-exact,
+        # bf16 products accumulate exactly in f32, and the 0/1 bands are
+        # exact — two DEFAULT dots per axis carry f32-level accuracy
+        # (~2^-17 relative, invisible at u8 scale).
+        hi = sharp.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = sharp - hi
+        tmp3 = dot(bh, hi) + dot(bh, lo)
+        hi2 = tmp3.astype(jnp.bfloat16).astype(jnp.float32)
+        lo2 = tmp3 - hi2
+        res = (dot(hi2, bw) + dot(lo2, bw)) / float(ratio * ratio)
         if out_ref.dtype == jnp.uint8:
             res = jnp.floor(jnp.clip(res, 0.0, 255.0)).astype(jnp.int32).astype(jnp.uint8)
         out_ref[k, 0] = res

@@ -203,15 +203,18 @@ def _kernel(eye_ref, smooth_ref, out_ref, win_ref, qwin_ref, sem, qsem,
         cq = jax.lax.broadcasted_iota(jnp.int32, (qwin_c, WC), 0)
         cu = jax.lax.broadcasted_iota(jnp.int32, (qwin_c, WC), 1)
         ec = (cq == cu // 4).astype(jnp.float32)             # [qwin_c, WC]
-        # HIGHEST precision: 0/1 expansion matrices are bf16-exact but the
-        # default MXU pass truncates the f32 `q` VALUES to bf16 — keep the
-        # hole-interior estimate at full f32 like the jnp path
-        rows = jax.lax.dot_general(er, q, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
-        return jax.lax.dot_general(rows, ec, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32,
-                                   precision=jax.lax.Precision.HIGHEST)
+        # The 0/1 expansion matrices are bf16-exact, but the DEFAULT MXU
+        # pass would truncate the f32 `q` VALUES to bf16. Split q around
+        # the bf16 mantissa instead of a multi-pass precision mode: each
+        # half rides exact single-pass dots (expansion copies values, so
+        # the hi path stays bf16-exact through both dots), total error
+        # ~2^-17 relative — full-f32 like the jnp path.
+        dot = functools.partial(jax.lax.dot_general,
+                                dimension_numbers=(((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        hi = q.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = q - hi
+        return dot(dot(er, hi), ec) + dot(dot(er, lo), ec)
 
     # ---- bilateral (cv2 weight laws), skipped when smoothing == 0
     if smoothing > 0:

@@ -52,11 +52,16 @@ def _band(n_out: int, n_in_win: int, base_out: int, base_in, f: int,
     # numerator), x0 = floor_div(2*o - (f-1), 2*f), frac = remainder / (2f)
     num = 2 * o - (f - 1)                      # = 2*f*src
     x0 = jnp.floor_divide(num, 2 * f)
-    w1 = (num - x0 * 2 * f).astype(jnp.float32) / float(2 * f)
+    k = (num - x0 * 2 * f).astype(jnp.float32)   # = w1 * 2f, integer 0..2f-1
     x0c = jnp.clip(x0, 0, src_len - 1)
     x1c = jnp.clip(x0 + 1, 0, src_len - 1)
-    band = (jnp.where(i == x0c, 1.0 - w1, 0.0)
-            + jnp.where(i == x1c, w1, 0.0))
+    # INTEGER-SCALED band (entries w * 2f in {0..2f}): integers <= 16 are
+    # bf16-exact, so a DEFAULT single-pass MXU dot with this operand loses
+    # nothing — the caller divides the final result by (2f)^2. (The
+    # fractional w1 form needed a multi-pass precision mode: bf16(k/2f)
+    # truncation put +-1..2 u8 codes on ~35% of pixels.)
+    band = (jnp.where(i == x0c, 2.0 * f - k, 0.0)
+            + jnp.where(i == x1c, k, 0.0))
     return band.astype(jnp.float32)
 
 
@@ -98,29 +103,47 @@ def _kernel(x_ref, o_ref, win_ref, sem, *, f: int, H: int, W: int,
 
     copy(slot, n, i, j).wait()
     win = win_ref[slot]
-    R = _band(BLOCK_R, win_r, i * BLOCK_R, in_r0(i), f, H, transpose=False)
-    C = _band(BLOCK_C, win_c, j * BLOCK_C, in_c0(j), f, W, transpose=True)
-    # HIGHEST precision is LOAD-BEARING: the MXU's default single-pass bf16
-    # f32 matmul truncates the fractional weights/values (~2^-9 relative),
-    # which lands +-1..2 u8 codes on ~35% of output pixels vs the exact jnp
-    # path (round-5 stage_hw_vs_interp) and drags hardware SSIM-vs-oracle
-    # below the 0.99 gate. The 3-pass decomposition restores f32 accuracy.
-    rows = jax.lax.dot_general(R, win, (((1,), (0,)), ((), ())),
-                               preferred_element_type=jnp.float32,
-                               precision=jax.lax.Precision.HIGHEST)
-    res = jax.lax.dot_general(rows, C, (((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=jax.lax.Precision.HIGHEST)
+    R6 = _band(BLOCK_R, win_r, i * BLOCK_R, in_r0(i), f, H, transpose=False)
+    C6 = _band(BLOCK_C, win_c, j * BLOCK_C, in_c0(j), f, W, transpose=True)
+    # Exactness on the MXU at DEFAULT (single-pass bf16) precision: the
+    # default pass truncates OPERANDS to bf16, which put +-1..2 u8 codes on
+    # ~35% of output pixels with fractional weights (round-5
+    # stage_hw_vs_interp) and dragged hardware SSIM below the 0.99 gate.
+    # Instead of a multi-pass precision mode (Mosaic's HIGHEST = 6 passes,
+    # measured +1.6 ms/frame), feed the MXU only bf16-EXACT operands:
+    # integer-scaled bands (<= 2f <= 16), and values split hi/lo around the
+    # bf16 mantissa (bf16xbf16 products accumulate exactly in f32). The
+    # (2f)^2 scale divides out at the end.
+    dot = functools.partial(jax.lax.dot_general,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    if quantize_u8:
+        # u8-valued inputs are bf16-exact as-is; rows6 is then exact
+        # integers <= 2f*255, split 16*hi + lo with hi <= 95, lo <= 15 —
+        # both bf16-exact — so every product and sum below is exact.
+        rows6 = dot(R6, win)
+        hi = jnp.floor(rows6 * 0.0625)
+        lo = rows6 - 16.0 * hi
+        res6 = 16.0 * dot(hi, C6) + dot(lo, C6)
+    else:
+        # arbitrary f32 values (the depth plane): hi/lo split carries the
+        # full mantissa across two exact passes (error ~2^-17 relative,
+        # invisible at u8 scale and far below the depth chain's needs)
+        hi = win.astype(jnp.bfloat16).astype(jnp.float32)
+        lo = win - hi
+        rows6 = dot(R6, hi) + dot(R6, lo)
+        hi2 = rows6.astype(jnp.bfloat16).astype(jnp.float32)
+        lo2 = rows6 - hi2
+        res6 = dot(hi2, C6) + dot(lo2, C6)
+    res = res6 / float((2 * f) * (2 * f))
     if quantize_u8:
         # fused floor-to-u8 (the warp input quantization point; exact —
         # flooring commutes with the warp's winner-take selection).
         # +2^-10 before the floor: exact results live on the 1/(2f)^2 grid
-        # (integer inputs x bilinear weights k/2f), whose closest
-        # below-integer point is 1 - 1/(2f)^2 >= 1/256 away for f <= 8, so
-        # the epsilon never lifts a true non-integer — but the 3-pass MXU
-        # sum can land 1 ulp BELOW an exact integer and flip floor() a full
-        # code (4.9% of pixels, round-5 stage_hw_vs_interp); the epsilon
-        # absorbs that. Identity on the exact CPU/interpret path.
+        # (res6 is an exact integer, so integer-valued outputs divide out
+        # EXACTLY), and the closest below-integer grid point is
+        # 1 - 1/(2f)^2 >= 1/256 away for f <= 8 — the epsilon can never
+        # lift a true non-integer but absorbs any last-ulp rounding.
         res = jnp.floor(jnp.clip(res + 0.0009765625, 0.0, 255.0)).astype(
             jnp.int32).astype(jnp.uint8)
     o_ref[0] = res
@@ -136,6 +159,10 @@ def upsample_bilinear_int_pallas(x, factor: int, quantize_u8: bool = False):
     supersampled f32 planes never reach HBM."""
     N, H, W = x.shape
     f = factor
+    # the in-kernel exactness argument (integer bands <= 2f bf16-exact,
+    # hi = rows6/16 <= 2f*255/16 <= 256, epsilon < 1/(2f)^2) needs f <= 8;
+    # production supersampling factors are 2-4
+    assert 1 < f <= 8, f"integer upsample factor {f} out of supported range"
     OH, OW = H * f, W * f
     nr = pl.cdiv(OH, BLOCK_R)
     nc = pl.cdiv(OW, BLOCK_C)
