@@ -144,14 +144,19 @@ def _avgpool2_hw(x):
     return (xh[..., 0::2] + xh[..., 1::2]) * 0.5
 
 
-def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
+def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4,
+                                quarter4=None):
     """Planar-u8 form of ``_pyramid_fill(..., return_coarse=True)``: eye4 is
     the warp kernel's [4, B, H, W] uint8 (r, g, b, valid) eye. Returns the
     [3, B, ~H/f, ~W/f] float32 masked push-pull estimate — already in the
     plane-major layout the fused postprocess kernel DMAs, so no channel
     interleave of full-resolution tensors ever happens. Matches
     ``_pyramid_fill(moveaxis(img), valid)`` exactly (same pools, same level
-    schedule, same masked combine)."""
+    schedule, same masked combine).
+
+    quarter4: optional precomputed [4, B, H/f, ~W/f] float32 pooled
+    (img*valid x3, valid) stack (ops/bilateral_pallas.py emits it from the
+    same window as the bilateral) — skips the pool prepass entirely."""
     import os
 
     import jax
@@ -165,15 +170,21 @@ def _pyramid_fill_planar_coarse(eye4, coarse_factor: int = 4):
         return x
 
     n_pre = max(coarse_factor, 1).bit_length() - 1
+    if quarter4 is not None:
+        n_pre = 0  # prepass already applied by the caller
+        eye4 = None
     # The full/half-res pool levels dominate the prepass (7.5 ms/eye as XLA
     # stride-2 shuffles, profile_postprocess_planar.py) — Pallas kernels on
     # TPU; the quarter-res-and-below pyramid stays jnp (tiny tensors).
-    use_pallas = ((jax.default_backend() == "tpu"
-                   or os.environ.get("VSC_TPU_SBS") == "planar")
+    use_pallas = (quarter4 is None
+                  and (jax.default_backend() == "tpu"
+                       or os.environ.get("VSC_TPU_SBS") == "planar")
                   and os.environ.get("VSC_TPU_POOL") != "jnp"
                   and n_pre >= 1
                   and eye4.shape[2] % 2 == 0 and eye4.shape[3] % 2 == 0)
-    if use_pallas:
+    if quarter4 is not None:
+        img, msk = quarter4[:3], quarter4[3]
+    elif use_pallas:
         from vsc_tpu.ops.pool_pallas import (avgpool2, avgpool2_eye4,
                                              avgpool4_eye4)
         if (n_pre == 2 and eye4.shape[2] % 4 == 0

@@ -301,9 +301,35 @@ def _generate_sbs_impl(rgb, depth, params: StereoParams, depth_max: float):
         # existed for the f32 jnp path's sake).
         B2 = eye_l.shape[1]
         pair = jnp.concatenate([eye_l, eye_r], axis=1)   # [4, 2B, H', W']
-        smooth_q = _pyramid_fill_planar_coarse(pair)
-        out = postprocess_eye_planar_pallas(
-            pair, smooth_q, params.artifact_smoothing)
+        # Split-bilateral pipeline (r5, LOST BISECT — default OFF): the
+        # bilateral in a dedicated full-width-strip kernel
+        # (ops/bilateral_pallas.py) that also emits the pyramid's
+        # quarter-res pool stack from the same window. Values are
+        # bit-identical to the fused form (same weight laws, same
+        # accumulation order, same pool ladder), but it MEASURED SLOWER on
+        # the axon v5e at 1080p defaults: 49.5 ms/frame (strip rows=32) and
+        # 105 ms (rows=64) vs 46.2 fused — full-width strips at the ~6060-
+        # lane supersampled width keep multi-MB f32 temporaries live per
+        # bilateral tap and lose more to VMEM pressure than the fused
+        # form's 1.87x halo recompute costs. VSC_TPU_PP_SPLIT=1 opts in.
+        from vsc_tpu.ops.bilateral_pallas import (bilateral_pool_planar,
+                                                  bilateral_pool_supported)
+        split = (os.environ.get("VSC_TPU_PP_SPLIT", "0") == "1"
+                 and bilateral_pool_supported(
+                     s["up_h"], s["up_w"], params.artifact_smoothing))
+        if split:
+            # VSC_TPU_BF_POOL=0: keep the pool prepass kernels (A/B isolating
+            # the in-kernel pool; the pyramid reads the PRE-bilateral pair)
+            pool_in_a = os.environ.get("VSC_TPU_BF_POOL", "1") != "0"
+            filt, quarter4 = bilateral_pool_planar(
+                pair, params.artifact_smoothing, pool=pool_in_a)
+            smooth_q = _pyramid_fill_planar_coarse(
+                None if pool_in_a else pair, quarter4=quarter4)
+            out = postprocess_eye_planar_pallas(filt, smooth_q, 0.0)
+        else:
+            smooth_q = _pyramid_fill_planar_coarse(pair)
+            out = postprocess_eye_planar_pallas(
+                pair, smooth_q, params.artifact_smoothing)
         # Per-eye convergence crop. The optimization_barrier is LOAD-BEARING:
         # the axon TPU backend miscompiles a fused
         # concat(slice(x[:, :B], lo), slice(x[:, B:], ro)) — the second
