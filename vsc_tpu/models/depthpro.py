@@ -385,11 +385,14 @@ class DepthProEncoder(nn.Module):
         flat_m = tiles_m.reshape(B * n_m * n_m, tile, tile, 3)
         all_tiles = jnp.concatenate([flat_f, flat_m, x_quar], axis=0)
 
-        patch_vit = ViT(cfg.encoder, hook_block_ids=cfg.hook_block_ids,
-                        name="patch_encoder")
-        tokens, hooks = patch_vit(all_tiles)
-
         nf2, nm2 = B * n_f * n_f, B * n_m * n_m
+        # hook_batch=nf2: only the fine tiles' hook rows are consumed below,
+        # so the mid/coarse rows are dropped at the hook site (exact — a
+        # slice of the residual stream; frees ~30% of each hook tensor's HBM
+        # liveness across the remaining transformer blocks).
+        patch_vit = ViT(cfg.encoder, hook_block_ids=cfg.hook_block_ids,
+                        hook_batch=nf2, name="patch_encoder")
+        tokens, hooks = patch_vit(all_tiles)
         trim_f = (grid - 3 * grid // 4) // 2        # merge padding (fine)
         trim_m = (grid - grid // 2) // 2            # merge padding (mid)
 

@@ -323,6 +323,12 @@ class ViT(nn.Module):
     encoder for its multi-resolution decoder)."""
     cfg: ViTConfig
     hook_block_ids: tuple[int, ...] = ()
+    # Keep only the first `hook_batch` rows of each hooked block output
+    # (None = all). DepthPro consumes hooks for the FINE tiles alone
+    # (depthpro.py fine_maps slices [:nf2]); slicing at the hook site frees
+    # the mid/coarse rows' HBM liveness across the remaining blocks instead
+    # of holding the full 35-tile stack until the decoder.
+    hook_batch: int | None = None
 
     @nn.compact
     def __call__(self, images):
@@ -367,7 +373,7 @@ class ViT(nn.Module):
         for i in range(cfg.depth):
             x = Block(cfg, name=f"block_{i}")(x)
             if i in self.hook_block_ids:
-                hooks[i] = x
+                hooks[i] = x if self.hook_batch is None else x[:self.hook_batch]
         x = nn.LayerNorm(epsilon=1e-6, dtype=cfg.dtype,
                          param_dtype=jnp.float32, name="norm")(x)
         return x, hooks
